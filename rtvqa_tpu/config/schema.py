@@ -1,0 +1,90 @@
+"""Config loading + validation.
+
+Superset of the reference config schema (``/root/reference/config.json:1-7``,
+validation at ``/root/reference/video_processing.py:71-98``). Differences,
+all deliberate (SURVEY.md §2.4):
+
+* ``num_workers`` is accepted *and honoured* (reference validates it but never
+  threads it through — ``video_processing.py:97`` vs ``:242-247``); here it
+  bounds host-side decode parallelism.
+* new keys: ``batch_size``, ``smoothing_alpha`` (hard-coded 0.8 in the
+  reference, ``complexity_metrics.py:114``), ``analyze_original`` (the
+  reference always analyzes the *encoded* video, ``video_processing.py:234``),
+  ``csv_file``, ``preset``, ``quality_backend``, ``data_parallel_devices``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+
+class ConfigError(ValueError):
+    """Raised when a config file fails validation."""
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- reference-compatible keys (config.json:1-7) ---
+    crf: int = 23
+    vmaf_model_path: Optional[str] = None
+    resize_width: int = 64
+    resize_height: int = 64
+    frame_interval: int = 10
+    num_workers: Optional[int] = None
+    # --- extensions ---
+    batch_size: int = 128
+    smoothing_alpha: float = 0.8
+    analyze_original: bool = False
+    csv_file: str = "video_quality_data.csv"
+    preset: str = "medium"
+    # "native" = on-device PSNR/SSIM/VMAF; "none" = skip quality metrics.
+    quality_backend: str = "native"
+    # Number of devices to shard the frame axis over (None = all local devices).
+    data_parallel_devices: Optional[int] = None
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ConfigError(f"Unknown config keys: {sorted(unknown)}")
+        cfg = cls(**raw)
+        cfg.validate()
+        return cfg
+
+    @classmethod
+    def from_file(cls, path: str) -> "Config":
+        try:
+            with open(path, "r") as f:
+                raw = json.load(f)
+        except FileNotFoundError:
+            raise ConfigError(f"Configuration file {path} not found.")
+        except json.JSONDecodeError as e:
+            raise ConfigError(f"Error decoding JSON from configuration file {path}: {e}")
+        return cls.from_dict(raw)
+
+    def validate(self) -> None:
+        # Mirrors reference range checks (video_processing.py:87-98).
+        if not (1 <= self.crf <= 51):
+            raise ConfigError("CRF value must be between 1 and 51.")
+        if self.resize_width <= 0 or self.resize_height <= 0:
+            raise ConfigError("Resize dimensions must be positive integers.")
+        if self.frame_interval <= 0:
+            raise ConfigError("Frame interval must be a positive integer.")
+        if self.num_workers is not None and not isinstance(self.num_workers, int):
+            raise ConfigError("num_workers must be an integer.")
+        if self.batch_size <= 0:
+            raise ConfigError("batch_size must be a positive integer.")
+        if not (0.0 < self.smoothing_alpha <= 1.0):
+            raise ConfigError("smoothing_alpha must be in (0, 1].")
+        if self.quality_backend not in ("native", "none"):
+            raise ConfigError("quality_backend must be 'native' or 'none'.")
+        if self.data_parallel_devices is not None and self.data_parallel_devices <= 0:
+            raise ConfigError("data_parallel_devices must be a positive integer.")
+
+
+def load_config(config_file: str) -> Config:
+    """Load and validate a JSON config (reference: video_processing.py:71-84)."""
+    return Config.from_file(config_file)

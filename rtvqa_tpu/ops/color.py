@@ -1,0 +1,91 @@
+"""Color-space conversion ops (device-side; JAX) + numpy mirrors for tests.
+
+The reference decodes to interleaved BGR on the host via OpenCV and converts
+to gray per frame with ``cv2.cvtColor`` (``complexity_metrics.py:332-333``
+etc.). Here frames ship to the device as planar YUV420 (half the host→HBM
+bytes of RGB) and conversion happens on-TPU, fused by XLA into downstream
+kernels.
+
+Conventions: BT.601 limited-range ("studio swing") YUV, the default
+interpretation for untagged H.264 — matching what swscale/OpenCV assume when
+converting yuv420p output to RGB. Gray uses the ITU-R BT.601 luma weights
+(0.299, 0.587, 0.114), identical to ``cv2.COLOR_BGR2GRAY``. Chroma upsampling
+is 2x2 nearest replication.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# BT.601 limited-range YUV -> full-range RGB.
+_Y_SCALE = 255.0 / 219.0            # 1.1643835
+_V_R = 255.0 / 224.0 * 1.402        # 1.5960267
+_U_G = -255.0 / 224.0 * 0.344136    # -0.3917623
+_V_G = -255.0 / 224.0 * 0.714136    # -0.8129676
+_U_B = 255.0 / 224.0 * 1.772        # 2.0172321
+
+GRAY_R, GRAY_G, GRAY_B = 0.299, 0.587, 0.114
+
+
+def upsample_chroma(c: jnp.ndarray) -> jnp.ndarray:
+    """(..., H/2, W/2) -> (..., H, W) by 2x2 nearest replication."""
+    c = jnp.repeat(c, 2, axis=-2)
+    c = jnp.repeat(c, 2, axis=-1)
+    return c
+
+
+def yuv420_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Planar YUV420 (limited range) -> (..., H, W, 3) float32 RGB in [0,255]."""
+    yf = y.astype(jnp.float32) - 16.0
+    uf = upsample_chroma(u.astype(jnp.float32)) - 128.0
+    vf = upsample_chroma(v.astype(jnp.float32)) - 128.0
+    uf = uf[..., : y.shape[-2], : y.shape[-1]]
+    vf = vf[..., : y.shape[-2], : y.shape[-1]]
+    r = _Y_SCALE * yf + _V_R * vf
+    g = _Y_SCALE * yf + _U_G * uf + _V_G * vf
+    b = _Y_SCALE * yf + _U_B * uf
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(rgb, 0.0, 255.0)
+
+
+def yuv420_to_gray(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Planar YUV420 -> float32 gray in [0,255], matching the reference's
+    decode-to-BGR-then-``cv2.COLOR_BGR2GRAY`` path to rounding tolerance.
+
+    Composed affine form of (yuv->rgb ; luma weights), with the clip applied
+    in RGB space first (the compositions differ only for out-of-gamut chroma).
+    """
+    rgb = yuv420_to_rgb(y, u, v)
+    return rgb[..., 0] * GRAY_R + rgb[..., 1] * GRAY_G + rgb[..., 2] * GRAY_B
+
+
+# --- NumPy mirrors (host-side test utilities / oracles) ---
+
+
+def rgb_to_yuv420_np(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(N, H, W, 3) uint8 full-range RGB -> planar BT.601 limited YUV420."""
+    rgb = rgb.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.0
+    u = 128.0 + (-37.797 * r - 74.203 * g + 112.0 * b) / 255.0
+    v = 128.0 + (112.0 * r - 93.786 * g - 18.214 * b) / 255.0
+    # 2x2 average chroma subsampling.
+    n, h, w = y.shape
+    u2 = u.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    v2 = v.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    to_u8 = lambda x: np.clip(np.rint(x), 0, 255).astype(np.uint8)
+    return to_u8(y), to_u8(u2), to_u8(v2)
+
+
+def yuv420_to_gray_np(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """NumPy oracle for :func:`yuv420_to_gray`."""
+    yf = y.astype(np.float64) - 16.0
+    uf = np.repeat(np.repeat(u.astype(np.float64), 2, -2), 2, -1) - 128.0
+    vf = np.repeat(np.repeat(v.astype(np.float64), 2, -2), 2, -1) - 128.0
+    uf = uf[..., : y.shape[-2], : y.shape[-1]]
+    vf = vf[..., : y.shape[-2], : y.shape[-1]]
+    r = np.clip(_Y_SCALE * yf + _V_R * vf, 0, 255)
+    g = np.clip(_Y_SCALE * yf + _U_G * uf + _V_G * vf, 0, 255)
+    b = np.clip(_Y_SCALE * yf + _U_B * uf, 0, 255)
+    return GRAY_R * r + GRAY_G * g + GRAY_B * b

@@ -1,0 +1,101 @@
+"""Block-matching motion complexity.
+
+The reference's motion metric is the mean Farneback optical-flow magnitude
+between sampled frame pairs at full resolution
+(``complexity_metrics.py:313-343``). Farneback's iterative polynomial
+expansion is a poor fit for the MXU/VPU; per the BASELINE.md north star the
+TPU framework substitutes **full-search block matching** — a documented
+behavioral substitution (SURVEY.md §2 native-component table, hard part 5):
+
+* partition the current frame into ``block x block`` tiles;
+* for each tile, find the integer displacement within ``±radius`` minimizing
+  SAD against the previous frame (replicate-padded at borders);
+* the metric is the mean displacement magnitude over tiles — same units as
+  mean flow magnitude (pixels per sampled-frame step).
+
+Implementation: one ``lax.scan`` over the (2r+1)^2 candidate displacements.
+Each step is a dynamic-slice of the padded previous frame + an elementwise
+SAD + a blockwise sum (reshape-reduce) — fully static shapes, everything
+batched over frames. Running argmin keeps (best_sad, best_dy, best_dx).
+
+Scale note: ties are broken toward the smaller raster-scan candidate index
+(first minimum wins), so static scenes report exactly 0.0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def block_match_motion(
+    prev_gray: jnp.ndarray,
+    curr_gray: jnp.ndarray,
+    block: int = 16,
+    radius: int = 8,
+) -> jnp.ndarray:
+    """Mean block displacement magnitude per pair: (..., H, W) -> (...,).
+
+    H, W are cropped down to multiples of ``block`` (cv2's Farneback also
+    effectively ignores sub-block remainders at the border).
+    """
+    h, w = curr_gray.shape[-2], curr_gray.shape[-1]
+    hb, wb = (h // block) * block, (w // block) * block
+    curr = curr_gray[..., :hb, :wb].astype(jnp.float32)
+    prev = prev_gray[..., :hb, :wb].astype(jnp.float32)
+
+    pad = [(0, 0)] * (prev.ndim - 2) + [(radius, radius), (radius, radius)]
+    prev_p = jnp.pad(prev, pad, mode="edge")
+
+    lead = curr.shape[:-2]
+    nby, nbx = hb // block, wb // block
+
+    def block_sad(shifted_prev):
+        d = jnp.abs(curr - shifted_prev)
+        d = d.reshape(*lead, nby, block, nbx, block)
+        return jnp.sum(d, axis=(-3, -1))  # (..., nby, nbx)
+
+    side = 2 * radius + 1
+    dys, dxs = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    candidates = jnp.asarray(
+        np.stack([dys.ravel(), dxs.ravel()], axis=-1), dtype=jnp.int32
+    )
+
+    big = jnp.full((*lead, nby, nbx), jnp.inf, dtype=jnp.float32)
+    zero = jnp.zeros((*lead, nby, nbx), dtype=jnp.float32)
+
+    def step(carry, disp):
+        best_sad, best_dy, best_dx = carry
+        dy, dx = disp[0], disp[1]
+        start = (0,) * len(lead) + (dy, dx)
+        shifted = jax.lax.dynamic_slice(prev_p, start, curr.shape)
+        sad = block_sad(shifted)
+        better = sad < best_sad  # strict: first (raster-order) minimum wins
+        fdy = (dy - radius).astype(jnp.float32)
+        fdx = (dx - radius).astype(jnp.float32)
+        best_sad = jnp.where(better, sad, best_sad)
+        best_dy = jnp.where(better, fdy, best_dy)
+        best_dx = jnp.where(better, fdx, best_dx)
+        return (best_sad, best_dy, best_dx), None
+
+    (best_sad, best_dy, best_dx), _ = jax.lax.scan(
+        step, (big, zero, zero), candidates
+    )
+    mag = jnp.sqrt(best_dy * best_dy + best_dx * best_dx)
+    return jnp.mean(mag, axis=(-2, -1))
+
+
+def fps_variation(timestamps_ms: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Instantaneous fps ``1/dt`` per consecutive sampled-timestamp pair.
+
+    Matches ``process_frame_interval_for_parallel``
+    (``complexity_metrics.py:150-165``): nonpositive dt -> 0.0. Input is the
+    (possibly padded) (..., N) timestamp vector in milliseconds with a
+    validity mask; returns ((..., N-1) fps values, (..., N-1) pair validity).
+    """
+    ts = timestamps_ms.astype(jnp.float32)
+    dt = (ts[..., 1:] - ts[..., :-1]) / 1000.0
+    fps = jnp.where(dt > 0, 1.0 / jnp.maximum(dt, 1e-9), 0.0)
+    pair_valid = valid[..., 1:] & valid[..., :-1]
+    return fps * pair_valid.astype(fps.dtype), pair_valid

@@ -1,0 +1,178 @@
+"""Multi-chip execution: device mesh + shard_map'd complexity suite.
+
+The reference's only parallelism is a host process pool over pickled frames
+(``complexity_metrics.py:128-148`` — SURVEY.md §2.3). The TPU-native
+equivalents:
+
+* **intra-chip data parallelism**: every kernel is batched over the frame
+  axis (one fused XLA program — `metrics.complexity`);
+* **multi-chip**: a 2D ``Mesh`` ("clip", "frame"); clips shard over one axis
+  (pure data parallelism), the frame/time axis of each clip shards over the
+  other — the framework's analog of sequence/context parallelism (SURVEY.md
+  §2.3 SP row). Temporal metrics (block-matching motion, temporal DCT, fps
+  variation) need exactly one predecessor frame per shard boundary: a single
+  ``ppermute`` halo exchange over ICI sends each shard's last frame to its
+  right neighbor.
+
+Design: each shard computes *per-global-frame* metric values for its local
+frames (all metrics depend only on frame g and g-1 — the halo). The per-frame
+scalar series (8 floats per frame) are then ``all_gather``ed — a negligible
+collective — and the EWM smoothing + masked means run replicated via the
+associative scan. Collective bytes per step: one frame per boundary + 8N
+scalars; everything heavy stays local.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rtvqa_tpu.metrics.complexity import ORB_SIZE
+from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb
+from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
+from rtvqa_tpu.ops.edges import canny_edge_count
+from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
+from rtvqa_tpu.ops.motion import block_match_motion
+from rtvqa_tpu.ops.orb import orb_keypoint_count
+from rtvqa_tpu.ops.resize import resize_bilinear
+from rtvqa_tpu.ops.scan import ewm_mean_masked, masked_mean
+
+
+def make_mesh(n_clip: int = 1, n_frame: Optional[int] = None, devices=None) -> Mesh:
+    """Build a ("clip", "frame") mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    total = devices.size
+    if n_frame is None:
+        n_frame = total // n_clip
+    assert n_clip * n_frame == total, (n_clip, n_frame, total)
+    return Mesh(devices.reshape(n_clip, n_frame), axis_names=("clip", "frame"))
+
+
+def _per_frame_values(
+    y, u, v, prev_y, prev_u, prev_v, *,
+    resize_h, resize_w, block, radius, edge_low, edge_high,
+):
+    """All eight per-frame metric values for a local frame block.
+
+    ``prev_*`` are the same arrays shifted by one global frame (halo-filled at
+    shard boundaries). Shapes (..., Nl, H, W) -> each output (..., Nl).
+    """
+    gray = yuv420_to_gray(y, u, v)
+    prev_gray = yuv420_to_gray(prev_y, prev_u, prev_v)
+    rgb = yuv420_to_rgb(y, u, v)
+
+    motion = block_match_motion(prev_gray, gray, block=block, radius=radius)
+
+    gray_rs = resize_bilinear(gray, resize_h, resize_w)
+    prev_gray_rs = resize_bilinear(prev_gray, resize_h, resize_w)
+    dct = dct_energy(gray_rs)
+    hist = gray_entropy(gray_rs)
+    edge = canny_edge_count(gray_rs, edge_low, edge_high)
+    orb = orb_keypoint_count(resize_bilinear(gray, ORB_SIZE, ORB_SIZE))
+    color = color_entropy(
+        jnp.moveaxis(
+            resize_bilinear(jnp.moveaxis(rgb, -1, -3), resize_h, resize_w), -3, -1
+        )
+    )
+    tdct = temporal_dct_abs_diff(prev_gray_rs, gray_rs)
+    return {
+        "motion": motion, "dct": dct, "histogram": hist, "edge": edge,
+        "orb": orb, "color": color, "temporal_dct": tdct,
+    }
+
+
+def _series_reduce(vals: dict, timestamps_ms, n_valid, alpha: float):
+    """Replicated tail: re-index per-frame values into the reference's series,
+    EWM-smooth, masked-mean. ``vals[*]``: (..., N); timestamps (..., N)."""
+    n = vals["motion"].shape[-1]
+    idx = jnp.arange(n)
+
+    def sm(series, valid):
+        smoothed, vv = ewm_mean_masked(series, alpha, valid, axis=-1)
+        return masked_mean(smoothed, vv, axis=-1)
+
+    nv = n_valid[..., None] if n_valid.ndim else n_valid
+    pair_valid = (idx[1:] >= 1) & (idx[1:] < nv)          # slots g=1..N-1
+    tdct_valid = idx[2:] < nv                              # slots g=2..N-1
+
+    out = {}
+    for key in ("motion", "dct", "histogram", "edge", "orb", "color"):
+        out[key] = sm(vals[key][..., 1:], pair_valid)
+    out["temporal_dct"] = sm(vals["temporal_dct"][..., 2:], tdct_valid)
+
+    ts = timestamps_ms.astype(jnp.float32)
+    dt = (ts[..., 1:] - ts[..., :-1]) / 1000.0
+    fps = jnp.where(dt > 0, 1.0 / jnp.maximum(dt, 1e-9), 0.0)
+    out["framerate"] = sm(fps, pair_valid)
+    return out
+
+
+def sharded_complexity_suite(
+    mesh: Mesh,
+    *,
+    resize_h: int,
+    resize_w: int,
+    alpha: float = 0.8,
+    block: int = 16,
+    radius: int = 8,
+    edge_low: float = 100.0,
+    edge_high: float = 200.0,
+):
+    """Build the jitted multi-chip complexity step for a given mesh.
+
+    Returns ``fn(y, u, v, timestamps_ms, n_valid) -> dict of (C,) metrics``
+    with inputs of shape (C, N, H, W)/(C, N, h, w)/(C, N)/(C,); C must divide
+    the mesh's "clip" axis size and N its "frame" axis size.
+    """
+    kernel = functools.partial(
+        _per_frame_values,
+        resize_h=resize_h, resize_w=resize_w, block=block, radius=radius,
+        edge_low=edge_low, edge_high=edge_high,
+    )
+
+    def body(y, u, v, ts, n_valid):
+        # Halo: previous global frame of the first local frame = left
+        # neighbor's last local frame (zeros for shard 0 — its slot-0 values
+        # are masked out anyway: the series start at g=1).
+        def with_halo(x):
+            last = x[:, -1:]
+            halo = jax.lax.ppermute(
+                last, "frame",
+                [(i, (i + 1) % jax.lax.axis_size("frame"))
+                 for i in range(jax.lax.axis_size("frame"))],
+            )
+            fid = jax.lax.axis_index("frame")
+            halo = jnp.where(fid == 0, jnp.zeros_like(halo), halo)
+            return jnp.concatenate([halo, x[:, :-1]], axis=1)
+
+        vals = kernel(y, u, v, with_halo(y), with_halo(u), with_halo(v))
+        # Gather the tiny scalar series; compute the smoothing replicated.
+        vals = {k: jax.lax.all_gather(val, "frame", axis=1, tiled=True)
+                for k, val in vals.items()}
+        ts_full = jax.lax.all_gather(ts, "frame", axis=1, tiled=True)
+        out = _series_reduce(vals, ts_full, n_valid, alpha)
+        # Replicated within the clip row -> psum/identity not needed; out is
+        # identical on every frame-shard.
+        return out
+
+    spec_frames = P("clip", "frame", None, None)
+    spec_ts = P("clip", "frame")
+    spec_scalar = P("clip")
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_frames, spec_frames, spec_frames, spec_ts, spec_scalar),
+        out_specs={k: spec_scalar for k in (
+            "motion", "dct", "histogram", "edge", "orb", "color",
+            "temporal_dct", "framerate",
+        )},
+        check_rep=False,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,120 @@
+"""Single-clip orchestrator: encode → analyze → one CSV row.
+
+TPU-native rebuild of ``process_video_and_extract_metrics``
+(``video_processing.py:180-267``):
+
+1. transcode the input with in-process libx264 at the configured CRF/preset
+   (reference: ffmpeg subprocess, ``:200-214``);
+2. probe the original's bitrate/resolution/fps natively (reference: ffprobe
+   subprocess + ``eval()``, ``:101-142``);
+3. decode ONCE per stream and run PSNR/SSIM/VMAF on-device over every frame
+   (reference: a second ffmpeg subprocess with psnr/ssim/libvmaf filters +
+   regex log scraping, ``:270-297`` / ``:145-177``);
+4. run the eight-metric complexity suite on the *encoded* clip's sampled
+   frames (reference ``:233-247``; set ``analyze_original=True`` to analyze
+   the source instead — SURVEY.md §2.4(5));
+5. append the 15-column CSV row — with the tuple-order bug corrected
+   (SURVEY.md §2.4(1)): each complexity column holds the metric its header
+   names.
+
+Failure semantics mirror the reference: missing quality metrics degrade to
+empty CSV cells (``:156-175``); temp artifacts are cleaned in ``finally``
+(``:263-267``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Any, Optional
+
+from rtvqa_tpu.config import Config
+from rtvqa_tpu.io import video as vio
+from rtvqa_tpu.metrics.complexity import calculate_average_scene_complexity
+from rtvqa_tpu.metrics.quality import compute_quality
+from rtvqa_tpu.obs.logging import get_logger
+from rtvqa_tpu.pipeline.csv_sink import update_csv
+
+logger = get_logger("rtvqa_tpu.pipeline")
+
+
+def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
+    """Run the full pipeline for one clip; returns the CSV-row metrics dict."""
+    if not os.path.isfile(input_video):
+        raise FileNotFoundError(f"The input video file {input_video} does not exist.")
+
+    temp_dir = tempfile.mkdtemp(prefix="rtvqa_")
+    try:
+        encoded_video = os.path.join(temp_dir, "encoded_video.mp4")
+        logger.info("Encoding %s at CRF %d (%s)", input_video, config.crf, config.preset)
+        vio.transcode(input_video, encoded_video, crf=config.crf, preset=config.preset)
+
+        info = vio.get_video_info(input_video)
+        metrics: dict[str, Any] = {
+            "Bitrate (kbps)": info.bitrate_kbps,
+            "Resolution (px)": info.resolution,
+            "Frame Rate (fps)": info.frame_rate,
+            "CRF": config.crf,
+        }
+
+        if config.quality_backend == "native":
+            try:
+                logger.info("Computing native PSNR/SSIM/VMAF (full-res, every frame)")
+                ref_clip = vio.decode_sampled(input_video, frame_interval=1)
+                dis_clip = vio.decode_sampled(encoded_video, frame_interval=1)
+                qual = compute_quality(ref_clip, dis_clip)
+                metrics["PSNR"] = qual["psnr"]
+                metrics["SSIM"] = qual["ssim"]
+                vmaf = _try_vmaf(ref_clip, dis_clip, config.vmaf_model_path)
+                if vmaf is not None:
+                    metrics["VMAF"] = vmaf
+                del ref_clip, dis_clip
+            except Exception as e:  # degrade like the reference's missing logs
+                logger.warning("Quality metrics failed: %s", e)
+
+        logger.info("Calculating scene complexity after encoding...")
+        target = input_video if config.analyze_original else encoded_video
+        clip = vio.decode_sampled(target, frame_interval=config.frame_interval)
+        comp = calculate_average_scene_complexity(
+            clip,
+            resize_width=config.resize_width,
+            resize_height=config.resize_height,
+            smoothing_factor=config.smoothing_alpha,
+        )
+
+        # Correct label<->value mapping (reference bug SURVEY.md §2.4(1)).
+        metrics.update(
+            {
+                "Advanced Motion Complexity": comp.motion,
+                "DCT Complexity": comp.dct,
+                "Temporal DCT Complexity": comp.temporal_dct,
+                "Histogram Complexity": comp.histogram,
+                "Edge Detection Complexity": comp.edge,
+                "ORB Feature Complexity": comp.orb,
+                "Color Histogram Complexity": comp.color,
+                "Framerate Variation": comp.framerate,
+            }
+        )
+        logger.info("Metrics extracted: %s", metrics)
+        return metrics
+    finally:
+        shutil.rmtree(temp_dir, ignore_errors=True)
+
+
+def _try_vmaf(ref_clip, dis_clip, model_path: Optional[str]) -> Optional[float]:
+    """VMAF if the predictor + model are available; None degrades the column."""
+    try:
+        from rtvqa_tpu.vmaf.predictor import compute_vmaf
+
+        return compute_vmaf(ref_clip, dis_clip, model_path=model_path)
+    except Exception as e:
+        logger.warning("VMAF unavailable: %s", e)
+        return None
+
+
+def process_video_and_extract_metrics(input_video: str, config: Config) -> dict[str, Any]:
+    """analyze + CSV append (the reference L6 entry point's full behavior)."""
+    metrics = analyze_video(input_video, config)
+    update_csv(metrics, csv_file=config.csv_file)
+    return metrics

@@ -1,0 +1,36 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding tests use
+``--xla_force_host_platform_device_count=8`` (standard JAX practice,
+SURVEY.md §4). Must be set before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent XLA cache: recompiling the fused metric programs dominates test
+# wall-clock on this 1-core host; cache across test sessions.
+import jax  # noqa: E402
+
+_cache_dir = os.path.expanduser("~/.cache/rtvqa_jax_test")
+os.makedirs(_cache_dir, exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

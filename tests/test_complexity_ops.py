@@ -1,0 +1,134 @@
+"""Golden-value tests: JAX complexity ops vs independent NumPy/SciPy oracles
+on synthetic frames (constant, gradient, noise, checkerboard) — SURVEY.md §4."""
+
+import numpy as np
+import pytest
+
+from rtvqa_tpu.ops import dct as jdct
+from rtvqa_tpu.ops import edges as jedges
+from rtvqa_tpu.ops import histogram as jhist
+from rtvqa_tpu.ops import motion as jmotion
+from tests.oracles import complexity as oracle
+
+
+def synthetic_frames(h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return {
+        "constant": np.full((h, w), 128.0, np.float32),
+        "gradient": (xx * 255.0 / (w - 1)).astype(np.float32),
+        "noise": rng.integers(0, 256, (h, w)).astype(np.float32),
+        "checkerboard": (((yy // 4 + xx // 4) % 2) * 255).astype(np.float32),
+    }
+
+
+@pytest.mark.parametrize("name", ["constant", "gradient", "noise", "checkerboard"])
+def test_dct2_matches_scipy(name):
+    f = synthetic_frames()[name]
+    got = np.asarray(jdct.dct2(f[None]))[0]
+    expected = oracle.dct2(f)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-2)
+
+
+def test_dct_energy_parseval(rng):
+    f = rng.integers(0, 256, (2, 32, 32)).astype(np.float32)
+    got = np.asarray(jdct.dct_energy(f))
+    explicit = np.sum(np.asarray(jdct.dct2(f)) ** 2, axis=(-2, -1))
+    for i in range(2):
+        assert got[i] == pytest.approx(oracle.dct_energy(f[i]), rel=1e-5)
+    np.testing.assert_allclose(got, explicit, rtol=1e-4)
+
+
+def test_temporal_dct_linearity(rng):
+    a = rng.integers(0, 256, (24, 24)).astype(np.float32)
+    b = rng.integers(0, 256, (24, 24)).astype(np.float32)
+    got = float(np.asarray(jdct.temporal_dct_abs_diff(a[None], b[None]))[0])
+    assert got == pytest.approx(oracle.temporal_dct(a, b), rel=1e-4)
+
+
+def test_blockwise_dct8x8(rng):
+    f = rng.normal(size=(16, 24)).astype(np.float32)
+    got = np.asarray(jdct.blockwise_dct8x8(f))
+    for by in range(2):
+        for bx in range(3):
+            blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            np.testing.assert_allclose(got[by, bx], oracle.dct2(blk), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["constant", "gradient", "noise", "checkerboard"])
+def test_gray_entropy(name):
+    f = synthetic_frames()[name]
+    got = float(np.asarray(jhist.gray_entropy(f[None]))[0])
+    expected = oracle.gray_entropy(np.clip(np.round(f), 0, 255).astype(np.uint8))
+    assert got == pytest.approx(expected, abs=1e-4)
+
+
+def test_color_entropy(rng):
+    rgb = rng.integers(0, 256, (20, 28, 3)).astype(np.float32)
+    got = float(np.asarray(jhist.color_entropy(rgb[None]))[0])
+    expected = oracle.color_entropy(rgb.astype(np.uint8))
+    assert got == pytest.approx(expected, abs=1e-3)
+
+
+def test_entropy_extremes():
+    const = np.full((1, 16, 16), 42.0, np.float32)
+    assert float(np.asarray(jhist.gray_entropy(const))[0]) == pytest.approx(0.0, abs=1e-6)
+    # Uniform over all 256 levels -> entropy 8 bits.
+    uniform = np.arange(256, dtype=np.float32).reshape(1, 16, 16)
+    assert float(np.asarray(jhist.gray_entropy(uniform))[0]) == pytest.approx(8.0, abs=1e-5)
+
+
+@pytest.mark.parametrize("name", ["gradient", "noise", "checkerboard"])
+def test_sobel_matches_oracle(name):
+    f = synthetic_frames(h=24, w=32)[name]
+    gx, gy = jedges.sobel_gradients(f[None])
+    ogx, ogy = oracle.sobel(f)
+    np.testing.assert_allclose(np.asarray(gx)[0], ogx, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gy)[0], ogy, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["constant", "gradient", "noise", "checkerboard"])
+def test_canny_matches_oracle(name):
+    f = synthetic_frames(h=24, w=32, seed=3)[name]
+    got = np.asarray(jedges.canny_edges(f[None]))[0]
+    expected = oracle.canny(f)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_canny_count_zero_on_constant():
+    f = np.full((1, 32, 32), 99.0, np.float32)
+    assert float(np.asarray(jedges.canny_edge_count(f))[0]) == 0.0
+
+
+def test_block_match_static_scene(rng):
+    f = rng.integers(0, 256, (48, 64)).astype(np.float32)
+    got = float(np.asarray(jmotion.block_match_motion(f[None], f[None]))[0])
+    assert got == 0.0
+
+
+def test_block_match_known_shift(rng):
+    # Shift a textured frame 3px right / 2px down: every block should find it.
+    base = rng.integers(0, 256, (80, 96)).astype(np.float32)
+    prev = base
+    curr = np.roll(np.roll(base, 2, axis=0), 3, axis=1)
+    # Interior blocks see a clean (2,3) displacement = magnitude sqrt(13).
+    got = float(np.asarray(jmotion.block_match_motion(prev[None], curr[None], block=16, radius=8))[0])
+    expected = oracle.block_match_motion(prev, curr, block=16, radius=8)
+    assert got == pytest.approx(expected, rel=1e-6)
+    assert got == pytest.approx(np.hypot(2, 3), rel=0.35)  # borders dilute slightly
+
+
+def test_block_match_matches_oracle_random(rng):
+    prev = rng.integers(0, 256, (32, 48)).astype(np.float32)
+    curr = rng.integers(0, 256, (32, 48)).astype(np.float32)
+    got = float(np.asarray(jmotion.block_match_motion(prev[None], curr[None], block=8, radius=4))[0])
+    expected = oracle.block_match_motion(prev, curr, block=8, radius=4)
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_fps_variation():
+    ts = np.array([0.0, 100.0, 200.0, 200.0, 300.0], np.float64)
+    valid = np.ones(5, bool)
+    fps, pv = jmotion.fps_variation(ts, valid)
+    np.testing.assert_allclose(np.asarray(fps), [10.0, 10.0, 0.0, 10.0], atol=1e-5)
+    assert np.all(np.asarray(pv))

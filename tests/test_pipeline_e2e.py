@@ -1,0 +1,109 @@
+"""End-to-end pipeline test: config.json + tiny generated video -> one CSV row
+with the exact 15-column schema (SURVEY.md §4 pipeline test)."""
+
+import json
+import os
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from rtvqa_tpu.config import load_config
+from rtvqa_tpu.io import video as vio
+from rtvqa_tpu.pipeline.csv_sink import CSV_COLUMNS, read_rows
+
+
+def make_clip(path, n=24, h=64, w=64, seed=5):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        base = ((xx * 3 + yy * 2 + i * 7) % 256).astype(np.uint8)
+        f = np.stack([base, np.roll(base, i % 5, 1), 255 - base], -1)
+        f = np.clip(f.astype(np.int16) + rng.integers(0, 10, f.shape), 0, 255)
+        frames.append(f.astype(np.uint8))
+    vio.encode_raw_rgb(path, np.stack(frames), fps=Fraction(30, 1), crf=20)
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    clip = str(d / "clip.mp4")
+    make_clip(clip)
+    cfg_path = str(d / "config.json")
+    csv_path = str(d / "out.csv")
+    json.dump(
+        {
+            "crf": 28,
+            "resize_width": 64,
+            "resize_height": 64,
+            "frame_interval": 3,
+            "csv_file": csv_path,
+        },
+        open(cfg_path, "w"),
+    )
+    return {"clip": clip, "config": cfg_path, "csv": csv_path, "dir": str(d)}
+
+
+def test_cli_end_to_end(env):
+    from rtvqa_tpu.cli import main
+
+    rc = main([env["config"], env["clip"]])
+    assert rc == 0
+    rows = read_rows(env["csv"])
+    assert len(rows) == 1
+    row = rows[0]
+    assert list(row.keys()) == CSV_COLUMNS
+    # Identity checks
+    assert row["Resolution (px)"] == "64x64"
+    assert float(row["Frame Rate (fps)"]) == pytest.approx(30.0)
+    assert row["CRF"] == "28"
+    # Quality metrics present and sane for a CRF-28 re-encode.
+    assert 20.0 < float(row["PSNR"]) < 60.0
+    assert 0.5 < float(row["SSIM"]) <= 1.0
+    # Complexity metrics: correct-label sanity (SURVEY.md §2.4(1) fixed):
+    # entropies are entropies (<= 8 / <= 24), counts are counts.
+    assert 0.0 < float(row["Histogram Complexity"]) <= 8.0
+    assert 0.0 < float(row["Color Histogram Complexity"]) <= 24.0
+    assert float(row["DCT Complexity"]) > 1e4
+    assert float(row["Temporal DCT Complexity"]) > 0.0
+    assert 0.0 <= float(row["ORB Feature Complexity"]) <= 500.0
+    assert float(row["Framerate Variation"]) == pytest.approx(10.0, rel=0.05)
+
+
+def test_missing_video_raises(env):
+    from rtvqa_tpu.config import load_config
+    from rtvqa_tpu.pipeline.analyzer import process_video_and_extract_metrics
+
+    cfg = load_config(env["config"])
+    with pytest.raises(FileNotFoundError):
+        process_video_and_extract_metrics(str(env["dir"]) + "/nope.mp4", cfg)
+
+
+def test_sweep_with_resume(env, tmp_path):
+    from rtvqa_tpu.pipeline.sweep import run_sweep
+
+    cfg = load_config(env["config"])
+    import dataclasses
+
+    csv2 = str(tmp_path / "sweep.csv")
+    cfg = dataclasses.replace(cfg, csv_file=csv2)
+    manifest = str(tmp_path / "manifest.jsonl")
+
+    stats = run_sweep([env["clip"]], cfg, crf_ladder=[30, 40], manifest_path=manifest)
+    assert stats == {"done": 2, "failed": 0, "skipped": 0}
+    assert len(read_rows(csv2)) == 2
+
+    # Resume: everything already done is skipped, CSV untouched.
+    stats2 = run_sweep([env["clip"]], cfg, crf_ladder=[30, 40], manifest_path=manifest)
+    assert stats2 == {"done": 0, "failed": 0, "skipped": 2}
+    assert len(read_rows(csv2)) == 2
+
+    # A bad clip is isolated, good items still run.
+    stats3 = run_sweep(
+        [env["clip"], str(tmp_path / "missing.mp4")],
+        cfg,
+        crf_ladder=[35],
+        manifest_path=manifest,
+    )
+    assert stats3["done"] == 1 and stats3["failed"] == 1

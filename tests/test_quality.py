@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from rtvqa_tpu.metrics import quality as q
+from tests.oracles import quality as oracle
+
+
+def make_pair(rng, n=2, h=48, w=64, noise=6):
+    ref_y = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    ref_u = rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8)
+    ref_v = rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8)
+
+    def distort(a):
+        d = a.astype(np.int16) + rng.integers(-noise, noise + 1, a.shape)
+        return np.clip(d, 0, 255).astype(np.uint8)
+
+    return (ref_y, ref_u, ref_v), (distort(ref_y), distort(ref_u), distort(ref_v))
+
+
+def test_psnr_matches_oracle(rng):
+    ref, dis = make_pair(rng)
+    got = q.psnr_frames(*ref, *dis)
+    for i in range(2):
+        exp = oracle.psnr_frame([p[i] for p in ref], [p[i] for p in dis])
+        assert float(np.asarray(got["mse_avg"])[i]) == pytest.approx(exp["mse_avg"], rel=1e-5)
+        assert float(np.asarray(got["mse_y"])[i]) == pytest.approx(exp["mse_y"], rel=1e-5)
+        expected_psnr = 10 * np.log10(255**2 / exp["mse_avg"])
+        assert float(np.asarray(got["psnr_avg"])[i]) == pytest.approx(expected_psnr, abs=1e-4)
+
+
+def test_psnr_identical_is_huge(rng):
+    ref, _ = make_pair(rng)
+    got = q.psnr_frames(*ref, *ref)
+    assert float(np.asarray(got["psnr_avg"])[0]) > 100.0
+
+
+def test_ssim_matches_oracle(rng):
+    # Parity budget: SSIM within 1e-4 of the x264/FFmpeg algorithm (BASELINE).
+    ref, dis = make_pair(rng, noise=15)
+    got = q.ssim_frames(*ref, *dis)
+    for i in range(2):
+        exp = oracle.ssim_frame([p[i] for p in ref], [p[i] for p in dis])
+        assert float(np.asarray(got["ssim_all"])[i]) == pytest.approx(exp["ssim_all"], abs=1e-4)
+        assert float(np.asarray(got["ssim_y"])[i]) == pytest.approx(exp["ssim_y"], abs=1e-4)
+
+
+def test_ssim_identical_is_one(rng):
+    ref, _ = make_pair(rng)
+    got = q.ssim_frames(*ref, *ref)
+    np.testing.assert_allclose(np.asarray(got["ssim_all"]), 1.0, atol=1e-6)
+
+
+def test_ssim_smooth_gradient_pair():
+    # Low-variance content exercises the stabilizing constants.
+    yy, xx = np.mgrid[0:32, 0:48]
+    ref_y = ((xx + yy) % 256).astype(np.uint8)[None]
+    dis_y = np.clip(ref_y.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    cu = np.full((1, 16, 24), 128, np.uint8)
+    got = q.ssim_frames(ref_y, cu, cu, dis_y, cu, cu)
+    exp = oracle.ssim_frame([ref_y[0], cu[0], cu[0]], [dis_y[0], cu[0], cu[0]])
+    assert float(np.asarray(got["ssim_all"])[0]) == pytest.approx(exp["ssim_all"], abs=1e-4)
+
+
+def test_compute_quality_chunked(rng):
+    # Chunked driver must equal single-shot on a 5-frame clip with chunk=2.
+    class FakeClip:
+        def __init__(self, y, u, v):
+            self.y, self.u, self.v = y, u, v
+
+    ref, dis = make_pair(rng, n=5)
+    out = q.compute_quality(FakeClip(*ref), FakeClip(*dis), chunk=2)
+    assert out["n_frames"] == 5
+    per_frame = [
+        oracle.ssim_frame([p[i] for p in ref], [p[i] for p in dis])["ssim_all"]
+        for i in range(5)
+    ]
+    assert out["ssim"] == pytest.approx(np.mean(per_frame), abs=1e-4)
+    mses = [
+        oracle.psnr_frame([p[i] for p in ref], [p[i] for p in dis])["mse_avg"]
+        for i in range(5)
+    ]
+    assert out["psnr"] == pytest.approx(10 * np.log10(255**2 / np.mean(mses)), abs=1e-3)

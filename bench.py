@@ -18,9 +18,9 @@ import time
 import numpy as np
 
 H, W = 1080, 1920
-N_DEVICE = 16   # frames per timed device batch
+N_DEVICE = 8    # frames per timed device batch
 N_CPU = 2       # frames for the CPU baseline (extrapolated)
-REPS = 3
+REPS = 2
 
 
 def make_frames(n, h=H, w=W, seed=0):
@@ -38,7 +38,7 @@ def device_pipeline():
     import jax
     import jax.numpy as jnp
 
-    from rtvqa_tpu.metrics.complexity import complexity_suite
+    from rtvqa_tpu.metrics.complexity import complexity_suite as _suite
     from rtvqa_tpu.metrics.quality import psnr_frames, ssim_frames
     from rtvqa_tpu.vmaf.adm import adm_features
     from rtvqa_tpu.vmaf.motion import motion_features
@@ -56,9 +56,18 @@ def device_pipeline():
         out.update(motion_features(ryf))
         return out
 
+    motion_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+
     def run(ry, ru, rv, dy, du, dv, ts, n):
-        comp = complexity_suite(ry, ru, rv, ts, n, resize_h=64, resize_w=64)
+        # Serialize the two fused programs: concurrent execution of the
+        # complexity suite and the quality/VMAF program at 1080p doubles the
+        # peak HBM footprint and can crash the worker.
+        comp = _suite(
+            ry, ru, rv, ts, n, resize_h=64, resize_w=64, motion_impl=motion_impl
+        )
+        comp = jax.tree.map(np.asarray, comp)
         qual = quality_and_vmaf(ry, ru, rv, dy, du, dv)
+        qual = jax.tree.map(np.asarray, qual)
         return comp, qual
 
     return run
@@ -87,10 +96,11 @@ def cpu_baseline(ry, dy):
         # block matching 16x16, radius 4 (reduced vs device radius 8)
         prev = ry[i - 1].astype(np.float32) if i else ref
         best = None
+        refc = ref[:1072]  # crop to a multiple of the 16px block
         for dyy in range(-4, 5):
             for dxx in range(-4, 5):
-                shifted = np.roll(np.roll(prev, dyy, 0), dxx, 1)
-                sad = np.abs(ref - shifted).reshape(67, 16, 120, 16).sum((1, 3))
+                shifted = np.roll(np.roll(prev, dyy, 0), dxx, 1)[:1072]
+                sad = np.abs(refc - shifted).reshape(67, 16, 120, 16).sum((1, 3))
                 best = sad if best is None else np.minimum(best, sad)
         # quality: psnr + ssim window stats
         diff = ref - dis
@@ -110,24 +120,37 @@ def main():
 
     enable_persistent_cache()
 
-    ry, ru, rv = make_frames(N_DEVICE, seed=0)
-    dy = np.clip(ry.astype(np.int16) + np.random.default_rng(1).integers(-4, 5, ry.shape), 0, 255).astype(np.uint8)
-    du, dv = ru.copy(), rv.copy()
+    # Distinct inputs per rep: the execution tunnel memoizes identical
+    # (executable, inputs) calls, so repeated same-input timing reads as
+    # near-zero. Results are fully materialized to the host inside the
+    # timed region.
+    variants = []
+    for rep in range(REPS + 1):
+        ry, ru, rv = make_frames(N_DEVICE, seed=rep)
+        dy = np.clip(
+            ry.astype(np.int16)
+            + np.random.default_rng(100 + rep).integers(-4, 5, ry.shape),
+            0, 255,
+        ).astype(np.uint8)
+        variants.append((
+            jax.device_put(ry), jax.device_put(ru), jax.device_put(rv),
+            jax.device_put(dy), jax.device_put(ru), jax.device_put(rv),
+        ))
+    jax.block_until_ready(variants)
     ts = (np.arange(N_DEVICE) * 33.3).astype(np.float32)
     n_valid = np.int32(N_DEVICE)
 
     run = device_pipeline()
 
-    # Warmup/compile
-    out = run(ry, ru, rv, dy, du, dv, ts, n_valid)
-    jax.block_until_ready(out)
+    # Warmup/compile on the spare variant.
+    run(*variants[-1], ts, n_valid)
 
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = run(ry, ru, rv, dy, du, dv, ts, n_valid)
-        jax.block_until_ready(out)
+    for rep in range(REPS):
+        run(*variants[rep], ts, n_valid)
     dt = (time.perf_counter() - t0) / REPS
     device_fps = N_DEVICE / dt
+    ry, dy = np.asarray(variants[0][0]), np.asarray(variants[0][3])
 
     t0 = time.perf_counter()
     cpu_baseline(ry[:N_CPU], dy[:N_CPU])

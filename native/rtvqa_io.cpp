@@ -60,7 +60,7 @@ struct DecodedVideo {
 // reference's read_frame_pairs semantics at complexity_metrics.py:103-104;
 // timestamps come from the SAME pass, fixing the off-by-one divergence of
 // extract_frame_timestamps, SURVEY.md §2.4(4)).
-int decode_impl(const char* path, int interval, DecodedVideo* out) {
+int decode_impl(const char* path, int interval, int threads, DecodedVideo* out) {
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0)
     return fail(std::string("cannot open input: ") + path);
@@ -81,7 +81,7 @@ int decode_impl(const char* path, int interval, DecodedVideo* out) {
   }
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(ctx, st->codecpar);
-  ctx->thread_count = 0;  // auto
+  ctx->thread_count = threads;  // 0 = auto; config num_workers plumbs here
   if (avcodec_open2(ctx, codec, nullptr) < 0) {
     avcodec_free_context(&ctx);
     avformat_close_input(&fmt);
@@ -186,14 +186,22 @@ done:
 
 RTVQA_API const char* rtvqa_last_error() { return g_last_error.c_str(); }
 
+RTVQA_API void* rtvqa_decode_open_threads(const char* path, int frame_interval,
+                                          int threads);
+
 // ---------------------------------------------------------------------------
 // Decode API (opaque handle; two-phase so Python can allocate numpy buffers).
 // ---------------------------------------------------------------------------
 
 RTVQA_API void* rtvqa_decode_open(const char* path, int frame_interval) {
+  return rtvqa_decode_open_threads(path, frame_interval, 0);
+}
+
+RTVQA_API void* rtvqa_decode_open_threads(const char* path, int frame_interval,
+                                          int threads) {
   g_last_error.clear();
   auto* dv = new DecodedVideo();
-  if (decode_impl(path, frame_interval < 1 ? 1 : frame_interval, dv) < 0) {
+  if (decode_impl(path, frame_interval < 1 ? 1 : frame_interval, threads, dv) < 0) {
     delete dv;
     return nullptr;
   }
@@ -230,6 +238,173 @@ RTVQA_API int rtvqa_decode_copy(void* handle, uint8_t* y, uint8_t* u, uint8_t* v
 
 RTVQA_API void rtvqa_decode_close(void* handle) {
   delete static_cast<DecodedVideo*>(handle);
+}
+
+// ---------------------------------------------------------------------------
+// Streaming decode API — iterator over sampled-frame batches with bounded
+// memory (the whole-clip API above is fine for short clips; long 1080p
+// full-frame quality analysis streams through this one). The Python side
+// wraps it in a double-buffered prefetch thread so host decode overlaps
+// device compute.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct StreamState {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* ctx = nullptr;
+  SwsContext* to420 = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* f420 = nullptr;
+  AVPacket* pkt = nullptr;
+  int vstream = -1;
+  int interval = 1;
+  int64_t count = 0;
+  bool draining = false;
+  bool done = false;
+  double tb_ms = 0.0;
+  int chroma_w = 0, chroma_h = 0;
+};
+
+}  // namespace
+
+RTVQA_API void* rtvqa_stream_open(const char* path, int frame_interval) {
+  g_last_error.clear();
+  auto* st = new StreamState();
+  st->interval = frame_interval < 1 ? 1 : frame_interval;
+  if (avformat_open_input(&st->fmt, path, nullptr, nullptr) < 0) {
+    set_error(std::string("cannot open input: ") + path);
+    delete st;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(st->fmt, nullptr) < 0 ||
+      (st->vstream = av_find_best_stream(st->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                         nullptr, 0)) < 0) {
+    set_error("no usable video stream");
+    avformat_close_input(&st->fmt);
+    delete st;
+    return nullptr;
+  }
+  AVStream* vs = st->fmt->streams[st->vstream];
+  const AVCodec* codec = avcodec_find_decoder(vs->codecpar->codec_id);
+  st->ctx = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(st->ctx, vs->codecpar);
+  st->ctx->thread_count = 0;
+  if (!codec || avcodec_open2(st->ctx, codec, nullptr) < 0) {
+    set_error("cannot open codec");
+    avcodec_free_context(&st->ctx);
+    avformat_close_input(&st->fmt);
+    delete st;
+    return nullptr;
+  }
+  st->tb_ms = av_q2d(vs->time_base) * 1000.0;
+  st->chroma_w = (st->ctx->width + 1) / 2;
+  st->chroma_h = (st->ctx->height + 1) / 2;
+  st->frame = av_frame_alloc();
+  st->f420 = av_frame_alloc();
+  st->pkt = av_packet_alloc();
+  return st;
+}
+
+RTVQA_API int rtvqa_stream_info(void* handle, int64_t* out_info) {
+  // [width, height, chroma_w, chroma_h, bit_rate, fps_milli]
+  auto* st = static_cast<StreamState*>(handle);
+  if (!st) return -1;
+  AVStream* vs = st->fmt->streams[st->vstream];
+  out_info[0] = st->ctx->width;
+  out_info[1] = st->ctx->height;
+  out_info[2] = st->chroma_w;
+  out_info[3] = st->chroma_h;
+  out_info[4] = vs->codecpar->bit_rate ? vs->codecpar->bit_rate : st->fmt->bit_rate;
+  double fps = vs->avg_frame_rate.den > 0 ? av_q2d(vs->avg_frame_rate) : 0.0;
+  out_info[5] = (int64_t)(fps * 1000.0 + 0.5);
+  return 0;
+}
+
+// Fill up to max_frames sampled frames; returns the number delivered
+// (0 = EOF, <0 = error).
+RTVQA_API int rtvqa_stream_next(void* handle, uint8_t* y, uint8_t* u, uint8_t* v,
+                                double* timestamps_ms, int max_frames) {
+  auto* st = static_cast<StreamState*>(handle);
+  if (!st || st->done) return st && st->done ? 0 : -1;
+  const int w = st->ctx->width, h = st->ctx->height;
+  const size_t ysz = (size_t)w * h;
+  const size_t csz = (size_t)st->chroma_w * st->chroma_h;
+  int delivered = 0;
+
+  auto emit = [&](AVFrame* f) {
+    AVFrame* src = f;
+    if (f->format != AV_PIX_FMT_YUV420P && f->format != AV_PIX_FMT_YUVJ420P) {
+      if (!st->to420) {
+        st->to420 = sws_getContext(w, h, (AVPixelFormat)f->format, w, h,
+                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                                   nullptr, nullptr);
+        st->f420->format = AV_PIX_FMT_YUV420P;
+        st->f420->width = w;
+        st->f420->height = h;
+        av_frame_get_buffer(st->f420, 32);
+      }
+      sws_scale(st->to420, f->data, f->linesize, 0, h, st->f420->data,
+                st->f420->linesize);
+      src = st->f420;
+    }
+    uint8_t* yd = y + (size_t)delivered * ysz;
+    for (int r = 0; r < h; ++r)
+      memcpy(yd + (size_t)r * w, src->data[0] + (size_t)r * src->linesize[0], w);
+    uint8_t* ud = u + (size_t)delivered * csz;
+    uint8_t* vd = v + (size_t)delivered * csz;
+    for (int r = 0; r < st->chroma_h; ++r) {
+      memcpy(ud + (size_t)r * st->chroma_w,
+             src->data[1] + (size_t)r * src->linesize[1], st->chroma_w);
+      memcpy(vd + (size_t)r * st->chroma_w,
+             src->data[2] + (size_t)r * src->linesize[2], st->chroma_w);
+    }
+    int64_t pts = f->best_effort_timestamp;
+    timestamps_ms[delivered] = pts == AV_NOPTS_VALUE ? 0.0 : pts * st->tb_ms;
+    delivered++;
+  };
+
+  while (delivered < max_frames) {
+    int ret = avcodec_receive_frame(st->ctx, st->frame);
+    if (ret == 0) {
+      st->count++;
+      if (st->count % st->interval == 0) emit(st->frame);
+      av_frame_unref(st->frame);
+      continue;
+    }
+    if (ret == AVERROR_EOF) {
+      st->done = true;
+      break;
+    }
+    if (ret != AVERROR(EAGAIN)) return fail("decode error");
+    if (st->draining) {  // defensive: EAGAIN after flush ⇒ treat as EOF
+      st->done = true;
+      break;
+    }
+    ret = av_read_frame(st->fmt, st->pkt);
+    if (ret < 0) {
+      st->draining = true;
+      avcodec_send_packet(st->ctx, nullptr);
+    } else if (st->pkt->stream_index != st->vstream) {
+      av_packet_unref(st->pkt);
+    } else {
+      avcodec_send_packet(st->ctx, st->pkt);
+      av_packet_unref(st->pkt);
+    }
+  }
+  return delivered;
+}
+
+RTVQA_API void rtvqa_stream_close(void* handle) {
+  auto* st = static_cast<StreamState*>(handle);
+  if (!st) return;
+  if (st->to420) sws_freeContext(st->to420);
+  av_frame_free(&st->frame);
+  av_frame_free(&st->f420);
+  av_packet_free(&st->pkt);
+  avcodec_free_context(&st->ctx);
+  avformat_close_input(&st->fmt);
+  delete st;
 }
 
 // ---------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""Streaming frame ingestion: bounded-memory batches + prefetch overlap.
+
+``decode_sampled`` (io.video) materializes a whole clip — fine for sampled
+complexity analysis, heavy for every-frame 1080p quality metrics on long
+clips. This module wraps the native streaming API
+(``rtvqa_stream_open/next/close``) as a Python iterator of fixed-size YUV420
+batches, plus a one-deep background-thread prefetcher so host decode overlaps
+device compute (the host⇄device double-buffering called for by SURVEY.md §1
+L2 / §7 step 2; the natural pipeline-parallelism analog of §2.3).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from rtvqa_tpu.io import video as vio
+
+
+@dataclasses.dataclass
+class FrameBatch:
+    y: np.ndarray            # (B, H, W) uint8
+    u: np.ndarray            # (B, H/2, W/2) uint8
+    v: np.ndarray            # (B, H/2, W/2) uint8
+    timestamps_ms: np.ndarray  # (B,) float64
+    start_index: int         # global index of the first sampled frame
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamInfo:
+    width: int
+    height: int
+    chroma_w: int
+    chroma_h: int
+    bit_rate: int
+    avg_fps: float
+
+
+class VideoStream:
+    """Iterator over sampled-frame batches of one clip (bounded memory)."""
+
+    def __init__(self, path: str, frame_interval: int = 1, batch: int = 32):
+        vio.validate_video_path(path)
+        self._lib = vio._load()
+        self._lib.rtvqa_stream_open.restype = ctypes.c_void_p
+        self._lib.rtvqa_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        self._lib.rtvqa_stream_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+        self._lib.rtvqa_stream_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
+        self._lib.rtvqa_stream_close.argtypes = [ctypes.c_void_p]
+        self._handle = self._lib.rtvqa_stream_open(path.encode(), int(frame_interval))
+        if not self._handle:
+            raise RuntimeError(f"stream open failed: {vio._err(self._lib)}")
+        raw = (ctypes.c_int64 * 6)()
+        self._lib.rtvqa_stream_info(self._handle, raw)
+        w, h, cw, ch, bitrate, fps_milli = (int(x) for x in raw)
+        self.info = StreamInfo(w, h, cw, ch, bitrate, fps_milli / 1000.0)
+        self.batch = batch
+        self._consumed = 0
+
+    def __iter__(self) -> Iterator[FrameBatch]:
+        return self
+
+    def __next__(self) -> FrameBatch:
+        if self._handle is None:
+            raise StopIteration
+        i = self.info
+        y = np.empty((self.batch, i.height, i.width), np.uint8)
+        u = np.empty((self.batch, i.chroma_h, i.chroma_w), np.uint8)
+        v = np.empty((self.batch, i.chroma_h, i.chroma_w), np.uint8)
+        ts = np.empty((self.batch,), np.float64)
+        n = self._lib.rtvqa_stream_next(
+            self._handle,
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.batch,
+        )
+        if n < 0:
+            self.close()
+            raise RuntimeError(f"stream decode failed: {vio._err(self._lib)}")
+        if n == 0:
+            self.close()
+            raise StopIteration
+        start = self._consumed
+        self._consumed += n
+        return FrameBatch(y[:n], u[:n], v[:n], ts[:n], start)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.rtvqa_stream_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+_SENTINEL = object()
+
+
+def prefetch(iterator: Iterator, depth: int = 1) -> Iterator:
+    """Run ``iterator`` in a background thread, ``depth`` items ahead.
+
+    With depth=1 this is classic double buffering: the producer decodes batch
+    k+1 while the consumer computes on batch k.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def stream_batches(
+    path: str, frame_interval: int = 1, batch: int = 32, prefetch_depth: int = 1
+) -> Iterator[FrameBatch]:
+    """Prefetched sampled-frame batches of one clip."""
+    return prefetch(VideoStream(path, frame_interval, batch), depth=prefetch_depth)

@@ -66,6 +66,8 @@ def _load() -> ctypes.CDLL:
     lib.rtvqa_last_error.restype = ctypes.c_char_p
     lib.rtvqa_decode_open.restype = ctypes.c_void_p
     lib.rtvqa_decode_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.rtvqa_decode_open_threads.restype = ctypes.c_void_p
+    lib.rtvqa_decode_open_threads.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     lib.rtvqa_decode_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.rtvqa_decode_copy.argtypes = [
         ctypes.c_void_p,
@@ -132,13 +134,22 @@ class DecodedClip:
     avg_fps: float
 
 
-def decode_sampled(path: str, frame_interval: int = 10) -> DecodedClip:
-    """Decode ``path`` once, keeping every ``frame_interval``-th frame (1-based)."""
+def decode_sampled(
+    path: str, frame_interval: int = 10, threads: Optional[int] = None
+) -> DecodedClip:
+    """Decode ``path`` once, keeping every ``frame_interval``-th frame (1-based).
+
+    ``threads`` bounds the decoder's thread count (the honoured analog of the
+    reference's ignored ``num_workers`` config — SURVEY.md §2.4(8));
+    None/0 = codec auto.
+    """
     validate_video_path(path)
     if not os.path.isfile(path):
         raise FileNotFoundError(path)
     lib = _load()
-    handle = lib.rtvqa_decode_open(path.encode(), int(frame_interval))
+    handle = lib.rtvqa_decode_open_threads(
+        path.encode(), int(frame_interval), int(threads or 0)
+    )
     if not handle:
         raise RuntimeError(f"decode failed: {_err(lib)}")
     try:

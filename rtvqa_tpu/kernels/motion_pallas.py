@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: full-search block-matching motion.
+
+The XLA formulation (`ops.motion.block_match_motion`) scans over the
+(2r+1)^2 candidate displacements, and each scan step re-streams both frames
+from HBM — ~2.4 GB of HBM traffic per 1080p frame pair at r=8. This kernel
+tiles the frame into block-row strips, stages each strip (plus its 2r halo
+rows from the previous frame) in VMEM once, and runs the entire displacement
+search on-chip: HBM traffic drops to one read of each frame (~300x less).
+
+Grid: (batch, n_strips). Per cell:
+  * curr strip: (BLOCK, Wq) pipelined in via BlockSpec;
+  * prev strip: (BLOCK + 2r, Wq) — strips overlap by 2r rows, which
+    BlockSpec's block-granular index maps can't express, so the previous
+    frame stays in HBM (`pltpu.ANY`) and the kernel DMAs its strip+halo into
+    VMEM scratch explicitly;
+  * fori_loop over the (2r+1)^2 displacements — each step is a dynamic VMEM
+    slice + |diff| + per-block reshape-reduction, carrying a running
+    (n_blocks,) SAD argmin (first minimum wins, as in the XLA op);
+  * output: the strip's mean best-displacement magnitude, broadcast across a
+    128-lane VMEM row (TPU lowering requires lane-aligned output blocks).
+    All strips hold the same block count, so the host-side mean over strips
+    equals the reference's global block mean.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bm_kernel(curr_ref, prev_hbm_ref, out_ref, prev_vmem, sem, *, block, radius, wb):
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    rows = block + 2 * radius
+
+    dma = pltpu.make_async_copy(
+        prev_hbm_ref.at[i, pl.ds(s * block, rows), :],
+        prev_vmem,
+        sem,
+    )
+    dma.start()
+
+    curr = curr_ref[0]  # (block, wq)
+    wq = curr.shape[1]
+    n_blocks = wb // block
+    side = 2 * radius + 1
+    rows_total = block + 2 * radius
+
+    # Block-pooling matrix: P[j, c] = 1 iff lane j belongs to block c and
+    # j < wb (masks the lane padding). All (2r+1)^2 displacement SAD rows are
+    # built first, then pooled with ONE well-shaped MXU matmul — a per-
+    # displacement (1, wq) matmul would waste 127/128 of the systolic array.
+    # n_blocks <= 128 per call (host wrapper falls back to XLA otherwise).
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (wq, 128), 0)
+    block_c = jax.lax.broadcasted_iota(jnp.int32, (wq, 128), 1)
+    pool = ((lane_j // block == block_c) & (lane_j < wb)).astype(jnp.float32)
+
+    dma.wait()
+
+    # Static-shift rolls (Mosaic rejects dynamic sublane offsets; static
+    # rotates lower to cheap lane/sublane shifts). Row-roll once per dy,
+    # lane-roll per dx. Wrapped lanes land beyond wb and are masked by P.
+    # The search is chunked by dy: each chunk pools its `side` SAD rows with
+    # one (side, wq) x (wq, 128) matmul and folds into a running argmin —
+    # bounding live VMEM values to one chunk (an all-289-row concat kept too
+    # many registers/VMEM values alive and could crash the worker when fused
+    # into larger programs).
+    strip = prev_vmem[...]
+    best_sad = jnp.full((1, 128), jnp.inf, jnp.float32)
+    best_k = jnp.zeros((1, 128), jnp.int32)
+    for dy in range(side):
+        rows_rolled = pltpu.roll(strip, rows_total - dy, axis=0)[:block]
+        colsums = []
+        for dx in range(side):
+            win = pltpu.roll(rows_rolled, prev_vmem.shape[1] - dx, axis=1)[:, :wq]
+            d = jnp.abs(curr - win)
+            colsums.append(jnp.sum(d, axis=0, keepdims=True))       # (1, wq)
+        cs = jnp.concatenate(colsums, axis=0)                        # (side, wq)
+        sad = jnp.dot(cs, pool, preferred_element_type=jnp.float32)  # (side, 128)
+        k_local = jnp.argmin(sad, axis=0).reshape(1, 128).astype(jnp.int32)
+        m = jnp.min(sad, axis=0).reshape(1, 128)
+        # Strict '<' keeps the earlier (raster-order) chunk on ties, and
+        # argmin's first-occurrence rule handles ties within a chunk — the
+        # XLA op's first-minimum tie-breaking exactly.
+        better = m < best_sad
+        best_k = jnp.where(better, dy * side + k_local, best_k)
+        best_sad = jnp.where(better, m, best_sad)
+
+    fdy = (best_k // side - radius).astype(jnp.float32)
+    fdx = (best_k % side - radius).astype(jnp.float32)
+    mag = jnp.sqrt(fdy * fdy + fdx * fdx)                            # (1, 128)
+    lane_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < n_blocks
+    ).astype(jnp.float32)
+    mean_mag = jnp.sum(mag * lane_mask) / n_blocks
+    # TPU lowering rejects sub-(8,128) output blocks; write a 128-lane row.
+    out_ref[0, s, :] = jnp.full((128,), mean_mag, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "radius", "interpret"))
+def block_match_motion_pallas(
+    prev_gray: jnp.ndarray,
+    curr_gray: jnp.ndarray,
+    block: int = 16,
+    radius: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Mean block displacement magnitude per pair: (B, H, W) -> (B,).
+
+    Numerically identical to `ops.motion.block_match_motion` (same
+    first-minimum tie-breaking, same edge replication).
+    """
+    b, h, w = curr_gray.shape
+    hb, wb = (h // block) * block, (w // block) * block
+    if wb // block > 128:
+        # The in-kernel pooling matmul packs one strip's block SADs into a
+        # single 128-lane register row; wider-than-2048px frames (at 16px
+        # blocks) would need multi-tile pooling — fall back to the XLA op.
+        from rtvqa_tpu.ops.motion import block_match_motion
+
+        return block_match_motion(prev_gray, curr_gray, block=block, radius=radius)
+    curr = curr_gray[:, :hb, :wb].astype(jnp.float32)
+    prev = prev_gray[:, :hb, :wb].astype(jnp.float32)
+
+    # Host-side halo: pad prev by r (edge replicate). curr is lane-aligned to
+    # wq; prev must extend at least wq + 2r columns so that every dx in
+    # [0, 2r] yields an in-bounds width-wq window (a short prev would make
+    # dynamic_slice clamp the start and alias all displacements). The pad
+    # region beyond wb is masked out by the [:wb] crop inside the kernel.
+    wq = _round_up(wb, 128)
+    wp = _round_up(wq + 2 * radius, 128)
+    prev_p = jnp.pad(
+        prev, ((0, 0), (radius, radius), (radius, wp - wb - radius)), mode="edge"
+    )
+    curr_p = jnp.pad(curr, ((0, 0), (0, 0), (0, wq - wb)), mode="edge")
+
+    n_strips = hb // block
+    rows = block + 2 * radius
+
+    out = pl.pallas_call(
+        functools.partial(_bm_kernel, block=block, radius=radius, wb=wb),
+        out_shape=jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
+        grid=(b, n_strips),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, wq), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_strips, 128), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(curr_p, prev_p)
+    return jnp.mean(out[..., 0], axis=-1)

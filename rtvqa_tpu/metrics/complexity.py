@@ -82,7 +82,10 @@ def _smoothed_masked_mean(series: jnp.ndarray, valid: jnp.ndarray, alpha: float)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resize_h", "resize_w", "alpha", "block", "radius", "edge_low", "edge_high"),
+    static_argnames=(
+        "resize_h", "resize_w", "alpha", "block", "radius", "edge_low",
+        "edge_high", "motion_impl",
+    ),
 )
 def complexity_suite(
     y: jnp.ndarray,           # (N, H, W) uint8 sampled luma
@@ -98,9 +101,14 @@ def complexity_suite(
     radius: int = 8,
     edge_low: float = 100.0,
     edge_high: float = 200.0,
+    motion_impl: str = "xla",
 ) -> dict[str, jnp.ndarray]:
     """Full complexity suite on padded sampled-frame batches; returns the 8
-    smoothed-mean scalars keyed by metric name."""
+    smoothed-mean scalars keyed by metric name.
+
+    ``motion_impl``: "xla" (scan-based, any backend) or "pallas" (VMEM-staged
+    search kernel — TPU only; ~300x less HBM traffic at full resolution).
+    """
     n_pad = y.shape[0]
     idx = jnp.arange(n_pad)
 
@@ -113,7 +121,14 @@ def complexity_suite(
 
     # -- motion: block matching on full-res gray pairs (reference runs
     #    Farneback unresized, complexity_metrics.py:313-343).
-    motion_series = block_match_motion(prev_g, curr_g, block=block, radius=radius)
+    if motion_impl == "pallas":
+        from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
+
+        motion_series = block_match_motion_pallas(
+            prev_g, curr_g, block=block, radius=radius
+        )
+    else:
+        motion_series = block_match_motion(prev_g, curr_g, block=block, radius=radius)
 
     # -- spatial metrics on first-of-pair frames s[1:].
     gray_rs = resize_bilinear(curr_g, resize_h, resize_w)     # (N-1, rh, rw)
@@ -162,10 +177,15 @@ def calculate_average_scene_complexity(
     smoothing_factor: float = 0.8,
     block: int = 16,
     radius: int = 8,
+    motion_impl: str | None = None,
 ) -> ComplexityResult:
     """Host-side wrapper: pad a DecodedClip to a static bucket, run the jitted
     suite, return the reference-ordered result (public API analog of
     ``complexity_metrics.py:246-310``)."""
+    import jax
+
+    if motion_impl is None:
+        motion_impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     n = int(clip.y.shape[0])
     n_pad = _pad_bucket(n)
 
@@ -182,6 +202,7 @@ def calculate_average_scene_complexity(
         alpha=float(smoothing_factor),
         block=block,
         radius=radius,
+        motion_impl=motion_impl,
     )
     out = {k: float(np.asarray(val)) for k, val in out.items()}
     return ComplexityResult(**out)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from rtvqa_tpu.metrics.complexity import ORB_SIZE
 from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb

@@ -27,12 +27,11 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-from typing import Any, Optional
+from typing import Any
 
 from rtvqa_tpu.config import Config
 from rtvqa_tpu.io import video as vio
 from rtvqa_tpu.metrics.complexity import calculate_average_scene_complexity
-from rtvqa_tpu.metrics.quality import compute_quality
 from rtvqa_tpu.obs.logging import get_logger
 from rtvqa_tpu.pipeline.csv_sink import update_csv
 
@@ -61,21 +60,26 @@ def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
         if config.quality_backend == "native":
             try:
                 logger.info("Computing native PSNR/SSIM/VMAF (full-res, every frame)")
-                ref_clip = vio.decode_sampled(input_video, frame_interval=1)
-                dis_clip = vio.decode_sampled(encoded_video, frame_interval=1)
-                qual = compute_quality(ref_clip, dis_clip)
-                metrics["PSNR"] = qual["psnr"]
-                metrics["SSIM"] = qual["ssim"]
-                vmaf = _try_vmaf(ref_clip, dis_clip, config.vmaf_model_path)
-                if vmaf is not None:
-                    metrics["VMAF"] = vmaf
-                del ref_clip, dis_clip
+                from rtvqa_tpu.metrics.full_reference import analyze_full_reference
+
+                qual = analyze_full_reference(
+                    input_video,
+                    encoded_video,
+                    chunk=min(config.batch_size, 16),
+                    vmaf_model_path=config.vmaf_model_path,
+                )
+                if qual["n_frames"] > 0:
+                    metrics["PSNR"] = qual["psnr"]
+                    metrics["SSIM"] = qual["ssim"]
+                    metrics["VMAF"] = qual["vmaf"]
             except Exception as e:  # degrade like the reference's missing logs
                 logger.warning("Quality metrics failed: %s", e)
 
         logger.info("Calculating scene complexity after encoding...")
         target = input_video if config.analyze_original else encoded_video
-        clip = vio.decode_sampled(target, frame_interval=config.frame_interval)
+        clip = vio.decode_sampled(
+            target, frame_interval=config.frame_interval, threads=config.num_workers
+        )
         comp = calculate_average_scene_complexity(
             clip,
             resize_width=config.resize_width,
@@ -100,17 +104,6 @@ def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
         return metrics
     finally:
         shutil.rmtree(temp_dir, ignore_errors=True)
-
-
-def _try_vmaf(ref_clip, dis_clip, model_path: Optional[str]) -> Optional[float]:
-    """VMAF if the predictor + model are available; None degrades the column."""
-    try:
-        from rtvqa_tpu.vmaf.predictor import compute_vmaf
-
-        return compute_vmaf(ref_clip, dis_clip, model_path=model_path)
-    except Exception as e:
-        logger.warning("VMAF unavailable: %s", e)
-        return None
 
 
 def process_video_and_extract_metrics(input_video: str, config: Config) -> dict[str, Any]:

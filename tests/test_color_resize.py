@@ -22,11 +22,15 @@ def test_yuv_rgb_roundtrip_smooth():
 
 
 def test_yuv_rgb_roundtrip_noise(rng):
-    # Pure noise is the chroma-subsampling worst case; loose bound only.
+    # Pure noise is the chroma-subsampling worst case (2x2-averaged chroma,
+    # amplified by the conversion gains): only a loose RGB bound holds, but
+    # the luma must survive the roundtrip tightly.
     rgb = rng.integers(0, 256, size=(3, 32, 48, 3), dtype=np.uint8)
     y, u, v = rgb_to_yuv420_np(rgb)
     back = np.asarray(yuv420_to_rgb(y, u, v))
-    assert float(np.mean(np.abs(back - rgb.astype(np.float32)))) < 30.0
+    assert float(np.mean(np.abs(back - rgb.astype(np.float32)))) < 60.0
+    y2, _, _ = rgb_to_yuv420_np(np.clip(np.rint(back), 0, 255).astype(np.uint8))
+    assert float(np.mean(np.abs(y2.astype(np.float32) - y.astype(np.float32)))) < 2.5
 
 
 def test_gray_matches_oracle(rng):

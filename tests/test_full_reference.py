@@ -1,0 +1,66 @@
+"""Streaming full-reference engine vs the whole-clip implementations."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from rtvqa_tpu.io import video as vio
+from rtvqa_tpu.metrics.full_reference import analyze_full_reference
+from rtvqa_tpu.metrics.quality import compute_quality
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fr")
+    rng = np.random.default_rng(21)
+    h, w, n = 64, 96, 11
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        base = (100 + 50 * np.sin(2 * np.pi * (xx + 3 * i) / 31.0)
+                + 30 * np.cos(2 * np.pi * yy / 17.0)
+                + rng.normal(0, 6, (h, w)))
+        g = np.clip(base, 0, 255).astype(np.uint8)
+        frames.append(np.stack([g, g, g], -1))
+    ref = str(d / "ref.mp4")
+    vio.encode_raw_rgb(ref, np.stack(frames), fps=Fraction(30, 1), crf=12)
+    dis = str(d / "dis.mp4")
+    vio.transcode(ref, dis, crf=35, preset="veryfast")
+    return ref, dis
+
+
+def test_streaming_matches_whole_clip(pair):
+    ref, dis = pair
+    out = analyze_full_reference(ref, dis, chunk=4)
+    assert out["n_frames"] == 11
+
+    ref_clip = vio.decode_sampled(ref, 1)
+    dis_clip = vio.decode_sampled(dis, 1)
+    whole = compute_quality(ref_clip, dis_clip, chunk=11)
+    assert out["psnr"] == pytest.approx(whole["psnr"], abs=1e-3)
+    assert out["ssim"] == pytest.approx(whole["ssim"], abs=1e-5)
+
+
+def test_streaming_vmaf_sane(pair):
+    ref, dis = pair
+    out = analyze_full_reference(ref, dis, chunk=4)
+    assert 0.0 <= out["vmaf"] <= 100.0
+    ident = analyze_full_reference(ref, ref, chunk=4)
+    assert ident["vmaf"] > out["vmaf"]
+    assert ident["ssim"] == pytest.approx(1.0, abs=1e-6)
+    # VIF/ADM identity features.
+    np.testing.assert_allclose(ident["per_frame"]["adm2"], 1.0, atol=1e-4)
+    np.testing.assert_allclose(ident["per_frame"]["vif_scale3"], 1.0, atol=1e-4)
+
+
+def test_streaming_motion_chunk_boundary(pair):
+    # motion2 must be identical for chunk=4 and chunk=32 (boundary carry).
+    ref, dis = pair
+    a = analyze_full_reference(ref, dis, chunk=4)
+    b = analyze_full_reference(ref, dis, chunk=32)
+    np.testing.assert_allclose(
+        a["per_frame"]["motion2"], b["per_frame"]["motion2"], atol=1e-4
+    )
+    assert a["per_frame"]["motion2"][0] == 0.0
+    assert np.any(a["per_frame"]["motion2"][1:] > 0)

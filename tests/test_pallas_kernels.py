@@ -1,0 +1,27 @@
+"""Pallas kernels vs their XLA op twins (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
+from rtvqa_tpu.ops.motion import block_match_motion
+
+
+@pytest.mark.parametrize("shape,block,radius", [((48, 64), 16, 8), ((64, 128), 16, 4)])
+def test_block_match_pallas_matches_xla(rng, shape, block, radius):
+    h, w = shape
+    prev = rng.integers(0, 256, (2, h, w)).astype(np.float32)
+    curr = np.stack(
+        [np.roll(np.roll(prev[i], 2, 0), -3, 1) for i in range(2)]
+    ).astype(np.float32)
+    got = np.asarray(
+        block_match_motion_pallas(prev, curr, block=block, radius=radius, interpret=True)
+    )
+    exp = np.asarray(block_match_motion(prev, curr, block=block, radius=radius))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_block_match_pallas_static(rng):
+    f = rng.integers(0, 256, (1, 32, 128)).astype(np.float32)
+    got = np.asarray(block_match_motion_pallas(f, f, block=16, radius=8, interpret=True))
+    assert float(got[0]) == 0.0

@@ -1,0 +1,65 @@
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from rtvqa_tpu.io import video as vio
+from rtvqa_tpu.io.stream import VideoStream, stream_batches
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "clip.mp4")
+    rng = np.random.default_rng(11)
+    h, w, n = 64, 96, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack(
+        [((xx + yy + 5 * i) % 256).astype(np.uint8) for i in range(n)]
+    )
+    frames = np.stack([frames, frames // 2, 255 - frames], axis=-1)
+    vio.encode_raw_rgb(path, frames, fps=Fraction(25, 1), crf=18)
+    return path
+
+
+def test_stream_matches_whole_clip_decode(clip):
+    whole = vio.decode_sampled(clip, frame_interval=1)
+    got_y, got_ts = [], []
+    with VideoStream(clip, frame_interval=1, batch=8) as vs:
+        assert vs.info.width == 96 and vs.info.height == 64
+        for fb in vs:
+            got_y.append(fb.y)
+            got_ts.append(fb.timestamps_ms)
+    y = np.concatenate(got_y)
+    ts = np.concatenate(got_ts)
+    assert y.shape == whole.y.shape
+    np.testing.assert_array_equal(y, whole.y)
+    np.testing.assert_allclose(ts, whole.timestamps_ms)
+
+
+def test_stream_sampling(clip):
+    whole = vio.decode_sampled(clip, frame_interval=5)
+    batches = list(stream_batches(clip, frame_interval=5, batch=3))
+    y = np.concatenate([b.y for b in batches])
+    np.testing.assert_array_equal(y, whole.y)
+    # start_index bookkeeping
+    assert batches[0].start_index == 0
+    assert batches[1].start_index == 3
+
+
+def test_stream_batch_sizes(clip):
+    sizes = [b.y.shape[0] for b in stream_batches(clip, 1, batch=10)]
+    assert sum(sizes) == 37
+    assert all(s == 10 for s in sizes[:-1])
+
+
+def test_prefetch_propagates_errors():
+    from rtvqa_tpu.io.stream import prefetch
+
+    def boom():
+        yield 1
+        raise ValueError("decode exploded")
+
+    it = prefetch(boom(), depth=1)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)

@@ -1,26 +1,40 @@
 """Headline benchmark: 1080p frames/sec/chip, full metric suite.
 
-Measures the fused on-device program (eight-metric complexity suite + native
-PSNR + SSIM + VMAF features VIF/ADM/motion) over synthetic 1080p YUV420 frame
-batches on one chip, against a vectorized NumPy CPU implementation of the
-same pipeline (proxy for the reference's OpenCV/ffmpeg CPU path — the
-reference itself cannot run here: no cv2/ffmpeg binaries, SURVEY.md §6).
+Measures the fused on-device programs (eight-metric complexity suite with the
+Pallas motion kernel + native PSNR/SSIM + VMAF features VIF/ADM/motion) over
+synthetic 1080p YUV420 frame batches on one chip, against a vectorized NumPy
+CPU implementation of the same pipeline (proxy for the reference's
+OpenCV/ffmpeg CPU path — the reference itself cannot run here: no cv2/ffmpeg
+binaries, SURVEY.md §6).
+
+Measurement notes (all learned the hard way on the axon TPU tunnel):
+* distinct inputs per rep + full host materialization inside the timed
+  region — the tunnel memoizes identical executions and `block_until_ready`
+  can return before real completion;
+* the two fused programs are measured in SEPARATE subprocesses with retries —
+  the remote worker occasionally crashes under heavy program churn, and a
+  crashed client cannot recover in-process. Full-suite throughput combines
+  the phase times (they run serialized in production too, bounding HBM peak).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 H, W = 1080, 1920
-N_DEVICE = 8    # frames per timed device batch
-N_CPU = 2       # frames for the CPU baseline (extrapolated)
+N_DEVICE = 8     # frames per complexity-suite batch
+N_QUALITY = 4    # frames per quality-program call (compile-time HBM budget)
 REPS = 2
+N_CPU = 2       # frames for the CPU baseline (extrapolated)
 
 
 def make_frames(n, h=H, w=W, seed=0):
@@ -34,15 +48,63 @@ def make_frames(n, h=H, w=W, seed=0):
     return y, u, v
 
 
-def device_pipeline():
+def _variants(n_variants, distort=False):
+    import jax
+
+    out = []
+    for rep in range(n_variants):
+        ry, ru, rv = make_frames(N_DEVICE, seed=rep)
+        if distort:
+            dy = np.clip(
+                ry.astype(np.int16)
+                + np.random.default_rng(100 + rep).integers(-4, 5, ry.shape),
+                0, 255,
+            ).astype(np.uint8)
+            out.append(tuple(jax.device_put(x) for x in (ry, ru, rv, dy, ru, rv)))
+        else:
+            out.append(tuple(jax.device_put(x) for x in (ry, ru, rv)))
+    jax.block_until_ready(out)
+    return out
+
+
+def phase_complexity() -> float:
+    """Seconds per N_DEVICE-frame batch for the complexity suite."""
+    import jax
+
+    from rtvqa_tpu.metrics.complexity import complexity_suite
+    from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    motion_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    ts = (np.arange(N_DEVICE) * 33.3).astype(np.float32)
+    n = np.int32(N_DEVICE)
+    variants = _variants(REPS + 1)
+
+    def run(v):
+        out = complexity_suite(
+            *v, ts, n, resize_h=64, resize_w=64, motion_impl=motion_impl
+        )
+        return jax.tree.map(np.asarray, out)
+
+    run(variants[-1])  # warmup/compile
+    t0 = time.perf_counter()
+    for rep in range(REPS):
+        run(variants[rep])
+    return (time.perf_counter() - t0) / REPS
+
+
+def phase_quality() -> float:
+    """Seconds per N_DEVICE-frame batch for PSNR+SSIM+VMAF features."""
     import jax
     import jax.numpy as jnp
 
-    from rtvqa_tpu.metrics.complexity import complexity_suite as _suite
     from rtvqa_tpu.metrics.quality import psnr_frames, ssim_frames
+    from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
     from rtvqa_tpu.vmaf.adm import adm_features
     from rtvqa_tpu.vmaf.motion import motion_features
     from rtvqa_tpu.vmaf.vif import vif_features
+
+    enable_persistent_cache()
 
     @jax.jit
     def quality_and_vmaf(ry, ru, rv, dy, du, dv):
@@ -54,36 +116,41 @@ def device_pipeline():
         out.update(vif_features(ryf, dyf))
         out.update(adm_features(ryf, dyf))
         out.update(motion_features(ryf))
-        return out
+        # One packed output = one device->host fetch (RPC round trips per
+        # fetched array dominate otherwise).
+        return jnp.stack([v.astype(jnp.float32) for v in out.values()])
 
-    motion_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    variants = _variants(REPS + 1, distort=True)
 
-    def run(ry, ru, rv, dy, du, dv, ts, n):
-        # Serialize the two fused programs: concurrent execution of the
-        # complexity suite and the quality/VMAF program at 1080p doubles the
-        # peak HBM footprint and can crash the worker.
-        comp = _suite(
-            ry, ru, rv, ts, n, resize_h=64, resize_w=64, motion_impl=motion_impl
-        )
-        comp = jax.tree.map(np.asarray, comp)
-        qual = quality_and_vmaf(ry, ru, rv, dy, du, dv)
-        qual = jax.tree.map(np.asarray, qual)
-        return comp, qual
+    def run(v):
+        # Two N_QUALITY-frame calls per N_DEVICE-frame batch (the quality
+        # program exceeds this slice's compile-time HBM budget beyond ~4
+        # simultaneous 1080p frames).
+        for start in range(0, N_DEVICE, N_QUALITY):
+            sl = tuple(x[start : start + N_QUALITY] for x in v)
+            jax.tree.map(np.asarray, quality_and_vmaf(*sl))
 
-    return run
+    run(variants[-1])
+    t0 = time.perf_counter()
+    for rep in range(REPS):
+        run(variants[rep])
+    return (time.perf_counter() - t0) / REPS
 
 
-def cpu_baseline(ry, dy):
-    """Vectorized NumPy equivalent of the hot per-frame path (proxy for the
-    reference's OpenCV C++ kernels on this host)."""
+def cpu_baseline_secs() -> float:
+    """Seconds per frame for a vectorized NumPy equivalent of the hot path."""
     import scipy.fft
     import scipy.ndimage as ndi
 
-    n = ry.shape[0]
-    for i in range(n):
+    ry, _, _ = make_frames(N_CPU, seed=0)
+    dy = np.clip(
+        ry.astype(np.int16) + np.random.default_rng(1).integers(-4, 5, ry.shape),
+        0, 255,
+    ).astype(np.uint8)
+    t0 = time.perf_counter()
+    for i in range(N_CPU):
         ref = ry[i].astype(np.float32)
         dis = dy[i].astype(np.float32)
-        # complexity: resize 64x64 (strided mean proxy), whole-frame dct, hist
         small = ref[:1024, :1792].reshape(64, 16, 64, 28).mean((1, 3))
         d = scipy.fft.dct(scipy.fft.dct(small, axis=0, norm="ortho"), axis=1, norm="ortho")
         _ = (d * d).sum()
@@ -93,69 +160,58 @@ def cpu_baseline(ry, dy):
         gx = ndi.sobel(small, 1)
         gy = ndi.sobel(small, 0)
         _ = ((np.abs(gx) + np.abs(gy)) > 200).sum()
-        # block matching 16x16, radius 4 (reduced vs device radius 8)
         prev = ry[i - 1].astype(np.float32) if i else ref
         best = None
-        refc = ref[:1072]  # crop to a multiple of the 16px block
+        refc = ref[:1072]
         for dyy in range(-4, 5):
             for dxx in range(-4, 5):
                 shifted = np.roll(np.roll(prev, dyy, 0), dxx, 1)[:1072]
                 sad = np.abs(refc - shifted).reshape(67, 16, 120, 16).sum((1, 3))
                 best = sad if best is None else np.minimum(best, sad)
-        # quality: psnr + ssim window stats
         diff = ref - dis
         _ = (diff * diff).mean()
         mu_r = ndi.uniform_filter(ref, 8)
         mu_d = ndi.uniform_filter(dis, 8)
         _ = ndi.uniform_filter(ref * dis, 8) - mu_r * mu_d
-        # vif scale 0 moments
         g = ndi.gaussian_filter(ref, 17 / 5.0)
         _ = ndi.gaussian_filter(ref * ref, 17 / 5.0) - g * g
+    return (time.perf_counter() - t0) / N_CPU
+
+
+def _run_phase_subprocess(phase: str, attempts: int = 3) -> float:
+    """Run one measurement phase in a fresh process (worker crashes recover)."""
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", phase],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("PHASE_SECONDS "):
+                return float(line.split()[1])
+        sys.stderr.write(
+            f"[bench] phase {phase} attempt {attempt + 1} failed:\n{proc.stderr[-2000:]}\n"
+        )
+    raise RuntimeError(f"phase {phase} failed after {attempts} attempts")
 
 
 def main():
-    import jax
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--phase", choices=["complexity", "quality"], default=None)
+    args = parser.parse_args()
 
-    from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
+    if args.phase == "complexity":
+        print(f"PHASE_SECONDS {phase_complexity()}")
+        return 0
+    if args.phase == "quality":
+        print(f"PHASE_SECONDS {phase_quality()}")
+        return 0
 
-    enable_persistent_cache()
-
-    # Distinct inputs per rep: the execution tunnel memoizes identical
-    # (executable, inputs) calls, so repeated same-input timing reads as
-    # near-zero. Results are fully materialized to the host inside the
-    # timed region.
-    variants = []
-    for rep in range(REPS + 1):
-        ry, ru, rv = make_frames(N_DEVICE, seed=rep)
-        dy = np.clip(
-            ry.astype(np.int16)
-            + np.random.default_rng(100 + rep).integers(-4, 5, ry.shape),
-            0, 255,
-        ).astype(np.uint8)
-        variants.append((
-            jax.device_put(ry), jax.device_put(ru), jax.device_put(rv),
-            jax.device_put(dy), jax.device_put(ru), jax.device_put(rv),
-        ))
-    jax.block_until_ready(variants)
-    ts = (np.arange(N_DEVICE) * 33.3).astype(np.float32)
-    n_valid = np.int32(N_DEVICE)
-
-    run = device_pipeline()
-
-    # Warmup/compile on the spare variant.
-    run(*variants[-1], ts, n_valid)
-
-    t0 = time.perf_counter()
-    for rep in range(REPS):
-        run(*variants[rep], ts, n_valid)
-    dt = (time.perf_counter() - t0) / REPS
-    device_fps = N_DEVICE / dt
-    ry, dy = np.asarray(variants[0][0]), np.asarray(variants[0][3])
-
-    t0 = time.perf_counter()
-    cpu_baseline(ry[:N_CPU], dy[:N_CPU])
-    cpu_dt = time.perf_counter() - t0
-    cpu_fps = N_CPU / cpu_dt
+    comp_dt = _run_phase_subprocess("complexity")
+    qual_dt = _run_phase_subprocess("quality")
+    total_dt = comp_dt + qual_dt  # serialized, as in production
+    device_fps = N_DEVICE / total_dt
+    cpu_fps = 1.0 / cpu_baseline_secs()
 
     print(
         json.dumps(
@@ -167,6 +223,7 @@ def main():
             }
         )
     )
+    return 0
 
 
 if __name__ == "__main__":

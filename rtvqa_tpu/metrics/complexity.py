@@ -165,6 +165,35 @@ def complexity_suite(
     }
 
 
+METRIC_ORDER = (
+    "motion", "dct", "histogram", "edge", "orb", "color", "temporal_dct", "framerate",
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "resize_h", "resize_w", "alpha", "block", "radius", "edge_low",
+        "edge_high", "motion_impl",
+    ),
+)
+def complexity_suite_packed(
+    y, u, v, timestamps_ms, n_valid, *,
+    resize_h, resize_w, alpha=0.8, block=16, radius=8,
+    edge_low=100.0, edge_high=200.0, motion_impl="xla",
+) -> jnp.ndarray:
+    """complexity_suite with the 8 scalars packed into one (8,) array —
+    a single device->host fetch (each fetched array costs a full RPC round
+    trip on remote-execution tunnels)."""
+    out = complexity_suite(
+        y, u, v, timestamps_ms, n_valid,
+        resize_h=resize_h, resize_w=resize_w, alpha=alpha, block=block,
+        radius=radius, edge_low=edge_low, edge_high=edge_high,
+        motion_impl=motion_impl,
+    )
+    return jnp.stack([out[k] for k in METRIC_ORDER])
+
+
 def _pad_bucket(n: int, bucket: int = 16) -> int:
     """Round up to a bucket size so compiled executables are reused."""
     return max(bucket, ((n + bucket - 1) // bucket) * bucket)
@@ -193,19 +222,20 @@ def calculate_average_scene_complexity(
         width = [(0, n_pad - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         return np.pad(a, width)
 
-    out = complexity_suite(
-        pad(clip.y), pad(clip.u), pad(clip.v),
-        pad(clip.timestamps_ms.astype(np.float32)),
-        jnp.asarray(n, dtype=jnp.int32),
-        resize_h=resize_height,
-        resize_w=resize_width,
-        alpha=float(smoothing_factor),
-        block=block,
-        radius=radius,
-        motion_impl=motion_impl,
+    packed = np.asarray(
+        complexity_suite_packed(
+            pad(clip.y), pad(clip.u), pad(clip.v),
+            pad(clip.timestamps_ms.astype(np.float32)),
+            jnp.asarray(n, dtype=jnp.int32),
+            resize_h=resize_height,
+            resize_w=resize_width,
+            alpha=float(smoothing_factor),
+            block=block,
+            radius=radius,
+            motion_impl=motion_impl,
+        )
     )
-    out = {k: float(np.asarray(val)) for k, val in out.items()}
-    return ComplexityResult(**out)
+    return ComplexityResult(**{k: float(packed[i]) for i, k in enumerate(METRIC_ORDER)})
 
 
 # --- standalone scorer (reference complexity_metrics.py:171-242) -----------

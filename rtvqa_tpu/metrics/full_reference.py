@@ -40,13 +40,25 @@ from rtvqa_tpu.vmaf.vif import vif_features
 logger = get_logger("rtvqa_tpu.full_reference")
 
 
+# Fixed order of the packed per-frame metric rows (one device->host fetch per
+# chunk: on a remote-execution tunnel every fetched array costs a full RPC
+# round trip, which dominated unpacked-dict timings ~30 ms per array).
+CHUNK_KEYS = (
+    "mse_y", "mse_u", "mse_v", "mse_avg", "psnr_y", "psnr_avg",
+    "ssim_y", "ssim_u", "ssim_v", "ssim_all",
+    "vif_scale0", "vif_scale1", "vif_scale2", "vif_scale3",
+    "adm2", "motion_sad",
+)
+
+
 @jax.jit
 def _chunk_program(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
     """All per-frame metrics for one lockstep chunk.
 
     prev_blur: (H, W) blurred last ref-luma of the previous chunk;
     has_prev: () bool — False for the first chunk (motion[0] = 0).
-    Returns per-frame arrays + the new carry.
+    Returns (packed (len(CHUNK_KEYS), N) float32, new blur carry) — the carry
+    stays on-device across chunks, the packed rows are one host fetch.
     """
     out = {}
     out.update(psnr_frames(ry, ru, rv, dy, du, dv))
@@ -62,16 +74,32 @@ def _chunk_program(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
     # First frame of the very first chunk has no predecessor: SAD -> 0.
     sad = sad.at[0].set(jnp.where(has_prev, sad[0], 0.0))
     out["motion_sad"] = sad
-    return out, blur[-1]
+    packed = jnp.stack([out[k].astype(jnp.float32) for k in CHUNK_KEYS])
+    return packed, blur[-1]
+
+
+def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
+    """Frames per device chunk, scaled to resolution.
+
+    The quality program's peak HBM footprint is ~30 float32 frame-sized
+    intermediates per frame; the device slice available here rejects programs
+    beyond ~4 simultaneous 1080p frames — scale the chunk so smaller frames
+    batch more and larger frames batch less.
+    """
+    budget = max(1, int(4 * (1080 * 1920) / max(width * height, 1)))
+    return max(1, min(requested or budget, budget))
 
 
 def analyze_full_reference(
     ref_path: str,
     dis_path: str,
-    chunk: int = 16,
+    chunk: Optional[int] = None,
     vmaf_model_path: Optional[str] = None,
 ) -> dict:
     """Stream both videos once; return pooled PSNR/SSIM/VMAF + per-frame series."""
+    probe = VideoStream(ref_path, 1, 1)
+    chunk = auto_chunk(probe.info.width, probe.info.height, chunk)
+    probe.close()
     ref_it = prefetch(VideoStream(ref_path, 1, chunk), depth=1)
     dis_it = prefetch(VideoStream(dis_path, 1, chunk), depth=1)
 
@@ -98,13 +126,14 @@ def analyze_full_reference(
 
         if carry_blur is None:
             carry_blur = np.zeros(rb.y.shape[1:], np.float32)
-        out, carry_blur = _chunk_program(
+        packed, carry_blur = _chunk_program(
             prep(rb.y), prep(rb.u), prep(rb.v),
             prep(db.y), prep(db.u), prep(db.v),
             carry_blur, jnp.asarray(not first),
         )
-        for k, val in out.items():
-            series.setdefault(k, []).append(np.asarray(val)[:n])
+        packed = np.asarray(packed)  # ONE fetch per chunk
+        for row, k in enumerate(CHUNK_KEYS):
+            series.setdefault(k, []).append(packed[row, :n])
         n_frames += n
         first = False
         if rb.y.shape[0] != db.y.shape[0]:

@@ -30,7 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rtvqa_tpu.metrics.complexity import ORB_SIZE
@@ -173,6 +173,6 @@ def sharded_complexity_suite(
             "motion", "dct", "histogram", "edge", "orb", "color",
             "temporal_dct", "framerate",
         )},
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

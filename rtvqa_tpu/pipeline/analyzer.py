@@ -65,7 +65,6 @@ def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
                 qual = analyze_full_reference(
                     input_video,
                     encoded_video,
-                    chunk=min(config.batch_size, 16),
                     vmaf_model_path=config.vmaf_model_path,
                 )
                 if qual["n_frames"] > 0:

@@ -31,10 +31,10 @@ import time
 import numpy as np
 
 H, W = 1080, 1920
-N_DEVICE = 8     # frames per complexity-suite batch
-N_QUALITY = 4    # frames per quality-program call (compile-time HBM budget)
+N_DEVICE = 32    # frames per complexity-suite / program-A batch
+N_B = 16         # frames per VIF+ADM (program B) call — compile-time HBM budget
 REPS = 2
-N_CPU = 2       # frames for the CPU baseline (extrapolated)
+N_CPU = 2        # frames for the CPU baseline (extrapolated)
 
 
 def make_frames(n, h=H, w=W, seed=0):
@@ -94,41 +94,24 @@ def phase_complexity() -> float:
 
 
 def phase_quality() -> float:
-    """Seconds per N_DEVICE-frame batch for PSNR+SSIM+VMAF features."""
+    """Seconds per N_DEVICE-frame batch for PSNR+SSIM+VMAF features,
+    using the production A/B split programs (metrics.full_reference)."""
     import jax
-    import jax.numpy as jnp
+    import numpy as _np
 
-    from rtvqa_tpu.metrics.quality import psnr_frames, ssim_frames
+    from rtvqa_tpu.metrics.full_reference import _program_a, _program_b
     from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
-    from rtvqa_tpu.vmaf.adm import adm_features
-    from rtvqa_tpu.vmaf.motion import motion_features
-    from rtvqa_tpu.vmaf.vif import vif_features
 
     enable_persistent_cache()
-
-    @jax.jit
-    def quality_and_vmaf(ry, ru, rv, dy, du, dv):
-        out = {}
-        out.update(psnr_frames(ry, ru, rv, dy, du, dv))
-        out.update(ssim_frames(ry, ru, rv, dy, du, dv))
-        ryf = ry.astype(jnp.float32)
-        dyf = dy.astype(jnp.float32)
-        out.update(vif_features(ryf, dyf))
-        out.update(adm_features(ryf, dyf))
-        out.update(motion_features(ryf))
-        # One packed output = one device->host fetch (RPC round trips per
-        # fetched array dominate otherwise).
-        return jnp.stack([v.astype(jnp.float32) for v in out.values()])
-
     variants = _variants(REPS + 1, distort=True)
+    zero_blur = _np.zeros((H, W), _np.float32)
 
     def run(v):
-        # Two N_QUALITY-frame calls per N_DEVICE-frame batch (the quality
-        # program exceeds this slice's compile-time HBM budget beyond ~4
-        # simultaneous 1080p frames).
-        for start in range(0, N_DEVICE, N_QUALITY):
-            sl = tuple(x[start : start + N_QUALITY] for x in v)
-            jax.tree.map(np.asarray, quality_and_vmaf(*sl))
+        ry, ru, rv, dy, du, dv = v
+        packed_a, _ = _program_a(ry, ru, rv, dy, du, dv, zero_blur, True)
+        _np.asarray(packed_a)
+        for start in range(0, N_DEVICE, N_B):
+            _np.asarray(_program_b(ry[start : start + N_B], dy[start : start + N_B]))
 
     run(variants[-1])
     t0 = time.perf_counter()

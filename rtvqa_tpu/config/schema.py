@@ -43,6 +43,9 @@ class Config:
     quality_backend: str = "native"
     # Number of devices to shard the frame axis over (None = all local devices).
     data_parallel_devices: Optional[int] = None
+    # Streaming (bounded-memory) complexity analysis: True/False, or None =
+    # auto (streams when the analyzed file exceeds ~256 MB).
+    streaming_complexity: Optional[bool] = None
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "Config":

@@ -5,14 +5,18 @@ The reference runs one ffmpeg subprocess evaluating psnr, ssim and libvmaf
 filter chains over both videos in a single decode pass
 (``video_processing.py:270-297``). This is the TPU-native equivalent: both
 videos stream through the native decoder in lockstep batches (prefetched on a
-background thread — host decode overlaps device compute), and ONE jitted
-chunk program computes every per-frame quantity:
+background thread — host decode overlaps device compute) and two jitted
+programs compute every per-frame quantity:
 
-* PSNR plane MSEs (vf_psnr semantics),
-* SSIM Y/U/V/All (x264 algorithm),
-* VIF scales 0-3 + ADM2 (VMAF spatial features),
-* blurred-luma SADs for VMAF motion/motion2 (the one temporal feature —
-  a single carried blurred frame stitches chunk boundaries).
+* **program A** (cheap, large batches): PSNR plane MSEs (vf_psnr semantics),
+  SSIM Y/U/V/All (x264 algorithm), and blurred-luma SADs for VMAF
+  motion/motion2 (a carried blurred frame stitches chunk boundaries);
+* **program B** (filter-heavy, half batches): VIF scales 0-3 + ADM2.
+
+Splitting matters twice on this hardware: each program's peak HBM stays
+under the compile-time budget at a larger batch (amortizing the tunnel's
+fixed ~40 ms per-call cost), and each call returns ONE packed array — one
+device→host fetch (every fetched array costs a full RPC round trip).
 
 Per-frame scalars return to the host; pooling (mean MSE → PSNR, mean SSIM,
 per-frame SVR → mean VMAF) happens at the end. Device memory stays bounded
@@ -21,7 +25,6 @@ by the chunk size regardless of clip length.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -39,55 +42,58 @@ from rtvqa_tpu.vmaf.vif import vif_features
 
 logger = get_logger("rtvqa_tpu.full_reference")
 
-
-# Fixed order of the packed per-frame metric rows (one device->host fetch per
-# chunk: on a remote-execution tunnel every fetched array costs a full RPC
-# round trip, which dominated unpacked-dict timings ~30 ms per array).
-CHUNK_KEYS = (
+# Packed row orders (one device->host fetch per program call).
+A_KEYS = (
     "mse_y", "mse_u", "mse_v", "mse_avg", "psnr_y", "psnr_avg",
-    "ssim_y", "ssim_u", "ssim_v", "ssim_all",
-    "vif_scale0", "vif_scale1", "vif_scale2", "vif_scale3",
-    "adm2", "motion_sad",
+    "ssim_y", "ssim_u", "ssim_v", "ssim_all", "motion_sad",
 )
+B_KEYS = ("vif_scale0", "vif_scale1", "vif_scale2", "vif_scale3", "adm2")
+CHUNK_KEYS = A_KEYS + B_KEYS  # combined series key set
 
 
 @jax.jit
-def _chunk_program(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
-    """All per-frame metrics for one lockstep chunk.
+def _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
+    """PSNR + SSIM + motion SADs for one lockstep chunk.
 
     prev_blur: (H, W) blurred last ref-luma of the previous chunk;
     has_prev: () bool — False for the first chunk (motion[0] = 0).
-    Returns (packed (len(CHUNK_KEYS), N) float32, new blur carry) — the carry
-    stays on-device across chunks, the packed rows are one host fetch.
+    Returns (packed (len(A_KEYS), N) float32, new blur carry — stays
+    on-device across chunks).
     """
     out = {}
     out.update(psnr_frames(ry, ru, rv, dy, du, dv))
     out.update(ssim_frames(ry, ru, rv, dy, du, dv))
-    ryf = ry.astype(jnp.float32)
-    dyf = dy.astype(jnp.float32)
-    out.update(vif_features(ryf, dyf))
-    out.update(adm_features(ryf, dyf))
-
-    blur = filter1d_sep(ryf, FILTER_5)
+    blur = filter1d_sep(ry.astype(jnp.float32), FILTER_5)
     prev = jnp.concatenate([prev_blur[None], blur[:-1]], axis=0)
     sad = jnp.mean(jnp.abs(blur - prev), axis=(-2, -1))
-    # First frame of the very first chunk has no predecessor: SAD -> 0.
     sad = sad.at[0].set(jnp.where(has_prev, sad[0], 0.0))
     out["motion_sad"] = sad
-    packed = jnp.stack([out[k].astype(jnp.float32) for k in CHUNK_KEYS])
+    packed = jnp.stack([out[k].astype(jnp.float32) for k in A_KEYS])
     return packed, blur[-1]
 
 
-def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
-    """Frames per device chunk, scaled to resolution.
+@jax.jit
+def _program_b(ry, dy):
+    """VIF (4 scales) + ADM2 for one (sub-)chunk: (len(B_KEYS), N) packed."""
+    ryf = ry.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    out = {}
+    out.update(vif_features(ryf, dyf))
+    out.update(adm_features(ryf, dyf))
+    return jnp.stack([out[k].astype(jnp.float32) for k in B_KEYS])
 
-    The quality program's peak HBM footprint is ~30 float32 frame-sized
-    intermediates per frame; the device slice available here rejects programs
-    beyond ~4 simultaneous 1080p frames — scale the chunk so smaller frames
-    batch more and larger frames batch less.
+
+def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
+    """Frames per stream chunk (program A's batch), scaled to resolution.
+
+    Program B runs on halves of this. The device slice here rejects programs
+    beyond roughly 32 simultaneous 1080p frames for A / 16 for B at compile
+    time; smaller frames batch proportionally more.
     """
-    budget = max(1, int(4 * (1080 * 1920) / max(width * height, 1)))
-    return max(1, min(requested or budget, budget))
+    budget = max(2, int(32 * (1080 * 1920) / max(width * height, 1)))
+    budget = min(budget, 256)
+    chunk = min(requested or budget, budget)
+    return max(2, (chunk // 2) * 2)  # even, so B halves evenly
 
 
 def analyze_full_reference(
@@ -100,6 +106,7 @@ def analyze_full_reference(
     probe = VideoStream(ref_path, 1, 1)
     chunk = auto_chunk(probe.info.width, probe.info.height, chunk)
     probe.close()
+    half = chunk // 2
     ref_it = prefetch(VideoStream(ref_path, 1, chunk), depth=1)
     dis_it = prefetch(VideoStream(dis_path, 1, chunk), depth=1)
 
@@ -124,16 +131,24 @@ def analyze_full_reference(
                 a = np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
             return a
 
+        ry, ru, rv = prep(rb.y), prep(rb.u), prep(rb.v)
+        dy, du, dv = prep(db.y), prep(db.u), prep(db.v)
+
         if carry_blur is None:
             carry_blur = np.zeros(rb.y.shape[1:], np.float32)
-        packed, carry_blur = _chunk_program(
-            prep(rb.y), prep(rb.u), prep(rb.v),
-            prep(db.y), prep(db.u), prep(db.v),
-            carry_blur, jnp.asarray(not first),
+        packed_a, carry_blur = _program_a(
+            ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
         )
-        packed = np.asarray(packed)  # ONE fetch per chunk
-        for row, k in enumerate(CHUNK_KEYS):
-            series.setdefault(k, []).append(packed[row, :n])
+        packed_b = np.concatenate(
+            [np.asarray(_program_b(ry[s : s + half], dy[s : s + half]))
+             for s in range(0, chunk, half)],
+            axis=1,
+        )
+        packed_a = np.asarray(packed_a)  # one fetch per program call
+        for row, k in enumerate(A_KEYS):
+            series.setdefault(k, []).append(packed_a[row, :n])
+        for row, k in enumerate(B_KEYS):
+            series.setdefault(k, []).append(packed_b[row, :n])
         n_frames += n
         first = False
         if rb.y.shape[0] != db.y.shape[0]:
@@ -178,7 +193,7 @@ def analyze_full_reference(
         "ssim": ssim,
         "vmaf": float(vmaf_per_frame.mean()),
         "per_frame": {
-            "psnr": s["psnr_avg"] if "psnr_avg" in s else None,
+            "psnr": s["psnr_avg"],
             "ssim": s["ssim_all"],
             "vmaf": vmaf_per_frame,
             **feats,

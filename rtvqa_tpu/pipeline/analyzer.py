@@ -76,15 +76,32 @@ def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
 
         logger.info("Calculating scene complexity after encoding...")
         target = input_video if config.analyze_original else encoded_video
-        clip = vio.decode_sampled(
-            target, frame_interval=config.frame_interval, threads=config.num_workers
-        )
-        comp = calculate_average_scene_complexity(
-            clip,
-            resize_width=config.resize_width,
-            resize_height=config.resize_height,
-            smoothing_factor=config.smoothing_alpha,
-        )
+        use_streaming = config.streaming_complexity
+        if use_streaming is None:  # auto: stream when the file is large
+            use_streaming = os.path.getsize(target) > 256 * 1024 * 1024
+        if use_streaming:
+            from rtvqa_tpu.metrics.complexity_streaming import (
+                calculate_average_scene_complexity_streaming,
+            )
+
+            comp = calculate_average_scene_complexity_streaming(
+                target,
+                resize_width=config.resize_width,
+                resize_height=config.resize_height,
+                frame_interval=config.frame_interval,
+                smoothing_factor=config.smoothing_alpha,
+                chunk=config.batch_size,
+            )
+        else:
+            clip = vio.decode_sampled(
+                target, frame_interval=config.frame_interval, threads=config.num_workers
+            )
+            comp = calculate_average_scene_complexity(
+                clip,
+                resize_width=config.resize_width,
+                resize_height=config.resize_height,
+                smoothing_factor=config.smoothing_alpha,
+            )
 
         # Correct label<->value mapping (reference bug SURVEY.md §2.4(1)).
         metrics.update(

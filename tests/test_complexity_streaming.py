@@ -1,0 +1,49 @@
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from rtvqa_tpu.io import video as vio
+from rtvqa_tpu.metrics.complexity import calculate_average_scene_complexity
+from rtvqa_tpu.metrics.complexity_streaming import (
+    calculate_average_scene_complexity_streaming,
+)
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cs") / "clip.mp4")
+    rng = np.random.default_rng(17)
+    h, w, n = 48, 64, 33
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        g = np.clip(((xx * 2 + yy + 5 * i) % 256) + rng.integers(0, 12, (h, w)), 0, 255)
+        frames.append(np.stack([g, 255 - g, g // 2], -1).astype(np.uint8))
+    vio.encode_raw_rgb(p, np.stack(frames), fps=Fraction(30, 1), crf=18)
+    return p
+
+
+@pytest.mark.parametrize("chunk", [4, 7, 64])
+def test_streaming_matches_fused(clip, chunk):
+    # Streaming (chunked, host-EWM) must equal the fused whole-clip program.
+    whole = vio.decode_sampled(clip, frame_interval=2)
+    fused = calculate_average_scene_complexity(whole, 24, 24)
+    streamed = calculate_average_scene_complexity_streaming(
+        clip, 24, 24, frame_interval=2, chunk=chunk
+    )
+    for key in ("dct", "histogram", "edge", "orb", "color",
+                "temporal_dct", "framerate"):
+        got = getattr(streamed, key)
+        exp = getattr(fused, key)
+        assert got == pytest.approx(exp, rel=2e-4, abs=2e-4), (key, chunk)
+    # Motion's full-search argmin can flip on near-tie SADs when f32
+    # reduction order changes with the batch shape — allow a looser bound.
+    assert streamed.motion == pytest.approx(fused.motion, rel=5e-3)
+
+
+def test_streaming_empty(clip):
+    res = calculate_average_scene_complexity_streaming(
+        clip, 16, 16, frame_interval=100
+    )
+    assert res.motion == 0.0 and res.dct == 0.0

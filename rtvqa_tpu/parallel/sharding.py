@@ -176,3 +176,60 @@ def sharded_complexity_suite(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Sharded full-reference quality step (PSNR/SSIM/VIF/ADM/motion over a mesh)
+# ---------------------------------------------------------------------------
+
+
+def sharded_quality_step(mesh: Mesh):
+    """Build the jitted multi-chip full-reference step for one clip pair.
+
+    Shards the frame axis over the mesh's "frame" axis (pure per-frame data
+    parallelism for PSNR/SSIM/VIF/ADM; VMAF motion needs the previous frame's
+    blurred luma — one ppermute halo, as in the complexity step). Returns
+    ``fn(ry, ru, rv, dy, du, dv) -> (K, N) packed float32`` with row order
+    ``metrics.full_reference.CHUNK_KEYS``; the global slot-0 motion SAD is
+    raw (callers zero it, matching program A's has_prev masking).
+    """
+    from rtvqa_tpu.metrics.full_reference import A_KEYS, B_KEYS
+    from rtvqa_tpu.metrics.quality import psnr_frames, ssim_frames
+    from rtvqa_tpu.vmaf.adm import adm_features
+    from rtvqa_tpu.vmaf.filters import filter1d_sep
+    from rtvqa_tpu.vmaf.motion import FILTER_5
+    from rtvqa_tpu.vmaf.vif import vif_features
+
+    def body(ry, ru, rv, dy, du, dv):
+        out = {}
+        out.update(psnr_frames(ry, ru, rv, dy, du, dv))
+        out.update(ssim_frames(ry, ru, rv, dy, du, dv))
+        ryf = ry.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
+        out.update(vif_features(ryf, dyf))
+        out.update(adm_features(ryf, dyf))
+
+        blur = filter1d_sep(ryf, FILTER_5)
+        n_frame = jax.lax.axis_size("frame")
+        halo = jax.lax.ppermute(
+            blur[-1:], "frame", [(i, (i + 1) % n_frame) for i in range(n_frame)]
+        )
+        fid = jax.lax.axis_index("frame")
+        halo = jnp.where(fid == 0, jnp.zeros_like(halo), halo)
+        prev = jnp.concatenate([halo, blur[:-1]], axis=0)
+        out["motion_sad"] = jnp.mean(jnp.abs(blur - prev), axis=(-2, -1))
+
+        packed = jnp.stack(
+            [out[k].astype(jnp.float32) for k in (*A_KEYS, *B_KEYS)]
+        )
+        return jax.lax.all_gather(packed, "frame", axis=1, tiled=True)
+
+    spec = P("frame", None, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,283 @@
+"""Pallas TPU kernel: fused VIF scale-0 statistics + next-scale decimation.
+
+VIF's scale 0 dominates the quality phase: five 17-tap separable moment
+filters over full-resolution luma (mu1, mu2, E[r^2], E[d^2], E[rd]) plus the
+per-pixel information-fidelity statistics, and then a SEPARATE 9-tap filter +
+decimation producing scale 1's inputs. In XLA each filter materializes
+full-resolution intermediates in HBM; this kernel keeps everything in VMEM
+row strips and writes only:
+
+* the per-strip partial sums of VIF's num/den (two scalars per strip);
+* the 9-tap-filtered, 2x-decimated ref/dis for scale 1 (quarter-size).
+
+HBM traffic per frame drops from ~30 full-res arrays to 2 reads + 2
+quarter-size writes.
+
+Layout rules honored (see CLAUDE.md): only static-shift `pltpu.roll` for
+sublane/lane offsets, no lane-splitting reshapes (lane decimation uses a
+0/1 selection matmul on the MXU), lane-aligned output blocks.
+
+Border handling matches `vmaf.filters` (scipy-'mirror' reflection): the host
+wrapper reflect-pads by the filter half-width on both axes, so in-kernel
+windows never cross an image edge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtvqa_tpu.vmaf.filters import gaussian_kernel
+
+_SIGMA_NSQ = 2.0
+_EPS = 1e-10
+
+TAPS17 = gaussian_kernel(17, 17 / 5.0).astype(np.float32)
+TAPS9 = gaussian_kernel(9, 9 / 5.0).astype(np.float32)
+HALO = 8  # max filter half-width (17-tap)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _filt_lanes(x, taps, lanes_total):
+    acc = None
+    for t, w in enumerate(taps):
+        sh = (lanes_total - t) % lanes_total
+        term = float(w) * (pltpu.roll(x, sh, axis=1) if sh else x)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _filt_sublanes(x, taps, rows_total):
+    acc = None
+    for t, w in enumerate(taps):
+        sh = (rows_total - t) % rows_total
+        term = float(w) * (pltpu.roll(x, sh, axis=0) if sh else x)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _vif0_kernel(
+    ref_hbm, dis_hbm, out_nd_ref, dec_ref_out, dec_dis_out,
+    rbuf, dbuf, sem_r, sem_d,
+    *, strip: int, w: int, wq: int, wd: int,
+):
+    """Grid (B, n_strips). Strip s covers output rows [s*strip, (s+1)*strip).
+
+    Inputs are reflect-padded by HALO on both axes on the host: padded row r
+    corresponds to original row r - HALO; the strip needs padded rows
+    [s*strip, s*strip + strip + 2*HALO).
+    """
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    rows = strip + 2 * HALO
+
+    dma_r = pltpu.make_async_copy(
+        ref_hbm.at[i, pl.ds(s * strip, rows), :], rbuf, sem_r
+    )
+    dma_d = pltpu.make_async_copy(
+        dis_hbm.at[i, pl.ds(s * strip, rows), :], dbuf, sem_d
+    )
+    dma_r.start()
+    dma_d.start()
+    dma_r.wait()
+    dma_d.wait()
+
+    r = rbuf[...]
+    d = dbuf[...]
+
+    # --- 17-tap separable moment filters -----------------------------------
+    # After the lane pass, lane j holds the filtered value centered at
+    # original column j (window [j-8, j+8] in padded coords [j, j+16]).
+    # After the sublane pass, row x holds the value centered at original row
+    # s*strip + x. Valid outputs: rows [0, strip), lanes [0, w).
+    def moments(x):
+        return _filt_sublanes(_filt_lanes(x, TAPS17, wq), TAPS17, rows)
+
+    mu1 = moments(r)
+    mu2 = moments(d)
+    s11 = moments(r * r)
+    s22 = moments(d * d)
+    s12 = moments(r * d)
+
+    sigma1 = jnp.maximum(s11 - mu1 * mu1, 0.0)
+    sigma2 = jnp.maximum(s22 - mu2 * mu2, 0.0)
+    sigma12 = s12 - mu1 * mu2
+
+    g = sigma12 / (sigma1 + _EPS)
+    sv = sigma2 - g * sigma12
+    small1 = sigma1 < _EPS
+    g = jnp.where(small1, 0.0, g)
+    sv = jnp.where(small1, sigma2, sv)
+    sigma1 = jnp.where(small1, 0.0, sigma1)
+    small2 = sigma2 < _EPS
+    g = jnp.where(small2, 0.0, g)
+    sv = jnp.where(small2, 0.0, sv)
+    neg = g < 0
+    sv = jnp.where(neg, sigma2, sv)
+    g = jnp.where(neg, 0.0, g)
+    sv = jnp.maximum(sv, _EPS)
+
+    num = jnp.log2(1.0 + g * g * sigma1 / (sv + _SIGMA_NSQ))
+    den = jnp.log2(1.0 + sigma1 / _SIGMA_NSQ)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wq), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wq), 1)
+    valid = (row_ids < strip) & (col_ids < w)
+    num_sum = jnp.sum(jnp.where(valid, num, 0.0))
+    den_sum = jnp.sum(jnp.where(valid, den, 0.0))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    packed = jnp.where(lane == 0, num_sum, jnp.where(lane == 1, den_sum, 0.0))
+    out_nd_ref[0, s, :] = packed[0]
+
+    # --- 9-tap filter + 2x decimation for scale 1 --------------------------
+    # The 9-tap window center must align with the 17-tap padding: original
+    # column j sits at padded lane j + HALO, so shift the tap start by
+    # HALO - 4 (= 8 - 9//2).
+    off = HALO - len(TAPS9) // 2
+
+    def filt9(x):
+        lane = None
+        for t, wgt in enumerate(TAPS9):
+            sh = (wq - (t + off)) % wq
+            term = float(wgt) * (pltpu.roll(x, sh, axis=1) if sh else x)
+            lane = term if lane is None else lane + term
+        acc = None
+        for t, wgt in enumerate(TAPS9):
+            sh = (rows - (t + off)) % rows
+            term = float(wgt) * (pltpu.roll(lane, sh, axis=0) if sh else lane)
+            acc = term if acc is None else acc + term
+        return acc
+
+    f_r = filt9(r)
+    f_d = filt9(d)
+    # Row decimation: even output rows 0,2,..,strip-2 = sublanes 0..strip/2-1
+    # after a stride-2 row selection — rows are the sublane axis, where
+    # Mosaic supports strided static slicing poorly; use a selection matmul
+    # on the TRANSPOSED problem instead: select even LANES with a 0/1 matrix
+    # (wq, wd) on the MXU, and even rows via a sublane-selection matmul
+    # (strip/2, rows) from the left.
+    lane_sel_rows = jax.lax.broadcasted_iota(jnp.int32, (wq, wd), 0)
+    lane_sel_cols = jax.lax.broadcasted_iota(jnp.int32, (wq, wd), 1)
+    lane_sel = (lane_sel_rows == 2 * lane_sel_cols).astype(jnp.float32)
+    row_sel_r = jax.lax.broadcasted_iota(jnp.int32, (strip // 2, rows), 0)
+    row_sel_c = jax.lax.broadcasted_iota(jnp.int32, (strip // 2, rows), 1)
+    row_sel = (row_sel_c == 2 * row_sel_r).astype(jnp.float32)
+
+    def decimate(x):
+        # HIGHEST precision: a 0/1 selection matmul in default (bf16-class)
+        # precision rounds the selected values themselves.
+        cols = jnp.dot(
+            x, lane_sel,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.dot(
+            row_sel, cols,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    dec_ref_out[0, :, :] = decimate(f_r)
+    dec_dis_out[0, :, :] = decimate(f_d)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = False):
+    """Fused VIF scale 0 over (B, H, W) float/uint8 luma.
+
+    Returns (vif_scale0 (B,), dec_ref (B, H/2, W/2), dec_dis (B, H/2, W/2)) —
+    the per-frame scale-0 feature plus scale 1's inputs (9-tap filtered and
+    decimated, identical to `vmaf.filters` semantics).
+
+    Requires H % 16 == 0 (strip size); W arbitrary.
+    """
+    b, h, w = ref_y.shape
+    strip = 16
+    assert h % strip == 0, "vif_scale0_pallas needs H % 16 == 0"
+    ref = ref_y.astype(jnp.float32)
+    dis = dis_y.astype(jnp.float32)
+
+    wq = _round_up(w + 2 * HALO, 128)
+    wd = _round_up(w // 2, 128)
+    pad_rows = ((0, 0), (HALO, HALO), (0, 0))
+    pad_cols_reflect = ((0, 0), (0, 0), (HALO, HALO))
+
+    def prep(x):
+        x = jnp.pad(x, pad_cols_reflect, mode="reflect")
+        x = jnp.pad(x, pad_rows, mode="reflect")
+        return jnp.pad(x, ((0, 0), (0, 0), (0, wq - w - 2 * HALO)), mode="edge")
+
+    ref_p = prep(ref)
+    dis_p = prep(dis)
+
+    n_strips = h // strip
+    rows = strip + 2 * HALO
+
+    out_nd, dec_ref, dec_dis = pl.pallas_call(
+        functools.partial(_vif0_kernel, strip=strip, w=w, wq=wq, wd=wd),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_strips * strip // 2, wd), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_strips * strip // 2, wd), jnp.float32),
+        ),
+        grid=(b, n_strips),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, strip // 2, wd), lambda i, s: (i, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, strip // 2, wd), lambda i, s: (i, s, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wq), jnp.float32),
+            pltpu.VMEM((rows, wq), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(ref_p, dis_p)
+
+    num = jnp.sum(out_nd[..., 0], axis=-1)
+    den = jnp.sum(out_nd[..., 1], axis=-1)
+    vif0 = num / jnp.maximum(den, _EPS)
+    return vif0, dec_ref[:, :, : w // 2], dec_dis[:, :, : w // 2]
+
+
+def vif_features_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """VIF at 4 scales with the fused Pallas scale-0; scales 1-3 in XLA
+    (quarter-size and cheap). Matches `vmaf.vif.vif_features`."""
+    from rtvqa_tpu.vmaf.vif import _vif_scale_stats
+
+    h = ref_y.shape[-2]
+    if h % 16 != 0:
+        from rtvqa_tpu.vmaf.vif import vif_features
+
+        return vif_features(ref_y, dis_y)
+
+    interpret = jax.default_backend() == "cpu"
+    vif0, ref, dis = vif_scale0_pallas(ref_y, dis_y, interpret=interpret)
+    out = {"vif_scale0": vif0}
+    for scale in range(1, 4):
+        n = 2 ** (4 - scale) + 1
+        taps = gaussian_kernel(n, n / 5.0)
+        if scale > 1:
+            from rtvqa_tpu.vmaf.filters import decimate2, filter1d_sep
+
+            ref = decimate2(filter1d_sep(ref, taps))
+            dis = decimate2(filter1d_sep(dis, taps))
+        num, den = _vif_scale_stats(ref, dis, gaussian_kernel(n, n / 5.0))
+        out[f"vif_scale{scale}"] = num / jnp.maximum(den, _EPS)
+    return out

@@ -74,11 +74,21 @@ def _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
 
 @jax.jit
 def _program_b(ry, dy):
-    """VIF (4 scales) + ADM2 for one (sub-)chunk: (len(B_KEYS), N) packed."""
+    """VIF (4 scales) + ADM2 for one (sub-)chunk: (len(B_KEYS), N) packed.
+
+    On TPU, VIF scale 0 (the dominant cost) runs as the fused Pallas kernel
+    (kernels.vif_pallas) — one VMEM pass computing all five moment filters,
+    the scale-0 statistics, and scale 1's decimated inputs; exact match with
+    the XLA formulation."""
     ryf = ry.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     out = {}
-    out.update(vif_features(ryf, dyf))
+    if jax.default_backend() != "cpu" and ry.shape[-2] % 16 == 0:
+        from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+
+        out.update(vif_features_pallas(ryf, dyf))
+    else:
+        out.update(vif_features(ryf, dyf))
     out.update(adm_features(ryf, dyf))
     return jnp.stack([out[k].astype(jnp.float32) for k in B_KEYS])
 

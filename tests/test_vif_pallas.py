@@ -1,0 +1,52 @@
+"""Fused Pallas VIF scale-0 kernel vs the XLA implementation (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from rtvqa_tpu.vmaf.filters import decimate2, filter1d_sep, gaussian_kernel
+from rtvqa_tpu.vmaf.vif import vif_features
+
+
+def make_pair(rng, b=2, h=48, w=70):
+    ref = rng.integers(0, 256, (b, h, w)).astype(np.float32)
+    dis = np.clip(ref + rng.normal(0, 8, ref.shape), 0, 255).astype(np.float32)
+    return ref, dis
+
+
+def test_vif0_kernel_matches_xla(rng):
+    from rtvqa_tpu.kernels.vif_pallas import vif_scale0_pallas
+
+    ref, dis = make_pair(rng)
+    vif0, dec_ref, dec_dis = vif_scale0_pallas(ref, dis, interpret=True)
+    expected = vif_features(ref, dis)
+    np.testing.assert_allclose(
+        np.asarray(vif0), np.asarray(expected["vif_scale0"]), rtol=2e-4
+    )
+    taps9 = gaussian_kernel(9, 9 / 5.0)
+    exp_dec = np.asarray(decimate2(filter1d_sep(ref, taps9)))
+    np.testing.assert_allclose(np.asarray(dec_ref), exp_dec, rtol=1e-4, atol=1e-3)
+    exp_dec_d = np.asarray(decimate2(filter1d_sep(dis, taps9)))
+    np.testing.assert_allclose(np.asarray(dec_dis), exp_dec_d, rtol=1e-4, atol=1e-3)
+
+
+def test_vif_features_pallas_all_scales(rng):
+    from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+
+    ref, dis = make_pair(rng, b=1, h=64, w=96)
+    got = vif_features_pallas(ref, dis)
+    expected = vif_features(ref, dis)
+    for k in range(4):
+        np.testing.assert_allclose(
+            np.asarray(got[f"vif_scale{k}"]),
+            np.asarray(expected[f"vif_scale{k}"]),
+            rtol=3e-4,
+        )
+
+
+def test_vif_features_pallas_identity(rng):
+    from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+
+    ref, _ = make_pair(rng, b=1, h=32, w=48)
+    got = vif_features_pallas(ref, ref)
+    for k in range(4):
+        np.testing.assert_allclose(np.asarray(got[f"vif_scale{k}"]), 1.0, atol=1e-5)

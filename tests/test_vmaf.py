@@ -211,3 +211,25 @@ def test_compute_vmaf_end_to_end():
     s_noisy = compute_vmaf(ref, noisy)
     assert s_ident > 95.0
     assert s_noisy < s_ident
+
+
+def test_adm_matches_numpy_oracle():
+    from tests.oracles.adm import adm2 as adm2_oracle
+
+    ref = natural_image(96, 128, seed=7)
+    dis = blur3(ref).astype(np.float32)
+    got = float(np.asarray(adm_features(ref[None], dis[None])["adm2"])[0])
+    expected = adm2_oracle(ref, dis)
+    assert got == pytest.approx(expected, rel=5e-4)
+
+
+def test_model_score_transform(tmp_path):
+    # Polynomial score transform (as used by e.g. vmaf_v0.6.1neg variants).
+    m = builtin_model()
+    import dataclasses as dc
+
+    mt = dc.replace(m, score_transform=(1.0, 0.5, 0.001), score_clip=(0.0, 100.0))
+    feats = perfect_features()
+    base = float(np.asarray(m.predict(feats))[0])
+    transformed = float(np.asarray(mt.predict(feats))[0])
+    assert transformed == pytest.approx(min(1.0 + 0.5 * base + 0.001 * base**2, 100.0), rel=1e-5)

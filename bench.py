@@ -71,7 +71,7 @@ def phase_complexity() -> float:
     """Seconds per N_DEVICE-frame batch for the complexity suite."""
     import jax
 
-    from rtvqa_tpu.metrics.complexity import complexity_suite
+    from rtvqa_tpu.metrics.complexity import complexity_suite_packed
     from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -81,10 +81,13 @@ def phase_complexity() -> float:
     variants = _variants(REPS + 1)
 
     def run(v):
-        out = complexity_suite(
-            *v, ts, n, resize_h=64, resize_w=64, motion_impl=motion_impl
+        # Packed output: ONE device->host fetch (the tunnel charges a full
+        # RPC round trip per fetched array).
+        return np.asarray(
+            complexity_suite_packed(
+                *v, ts, n, resize_h=64, resize_w=64, motion_impl=motion_impl
+            )
         )
-        return jax.tree.map(np.asarray, out)
 
     run(variants[-1])  # warmup/compile
     t0 = time.perf_counter()
@@ -104,7 +107,7 @@ def phase_quality() -> float:
 
     enable_persistent_cache()
     variants = _variants(REPS + 1, distort=True)
-    zero_blur = _np.zeros((H, W), _np.float32)
+    zero_blur = jax.device_put(_np.zeros((H, W), _np.float32))
 
     def run(v):
         ry, ru, rv, dy, du, dv = v

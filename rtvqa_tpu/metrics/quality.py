@@ -94,15 +94,36 @@ def pooled_psnr(mse_avg_frames: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=32)
+def _pool4_matrix(n: int) -> np.ndarray:
+    """(n//4, n) 0/1 matrix summing groups of 4 (truncating the remainder)."""
+    b = n // 4
+    m = np.zeros((b, n), np.float32)
+    for r in range(b):
+        m[r, 4 * r : 4 * r + 4] = 1.0
+    return m
+
+
 def _block_sums_4x4(a: jnp.ndarray) -> jnp.ndarray:
-    """(..., H, W) int32 -> (..., H//4, W//4) int32 4x4 block sums (truncating
-    partial blocks at the border, as vf_ssim does via width>>2)."""
+    """(..., H, W) int -> (..., H//4, W//4) float32 4x4 block sums (truncating
+    partial blocks at the border, as vf_ssim does via width>>2).
+
+    Evaluated as two 0/1 pooling matmuls at HIGHEST precision — exact for the
+    integer inputs here (all sums < 2^24), and far faster on TPU than a
+    lane-splitting reshape-reduce, which forces a vector relayout.
+    """
     h, w = a.shape[-2], a.shape[-1]
-    bh, bw = h // 4, w // 4
-    a = a[..., : bh * 4, : bw * 4]
-    lead = a.shape[:-2]
-    a = a.reshape(*lead, bh, 4, bw, 4)
-    return jnp.sum(a, axis=(-3, -1))
+    ph = jnp.asarray(_pool4_matrix(h))
+    pw = jnp.asarray(_pool4_matrix(w))
+    x = a.astype(jnp.float32)
+    y = jnp.einsum(
+        "bh,...hw->...bw", ph, x,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.einsum(
+        "cw,...bw->...bc", pw, y,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _ssim_plane(ref: jnp.ndarray, dis: jnp.ndarray) -> jnp.ndarray:

@@ -450,6 +450,7 @@ struct Encoder {
   AVStream* ost = nullptr;
   AVPacket* pkt = nullptr;
   int64_t next_pts = 0;
+  bool header_written = false;
 
   int open(const char* path, int w, int h, AVRational fps, int crf,
            const char* preset) {
@@ -478,6 +479,7 @@ struct Encoder {
         return fail("cannot open output file");
     if (avformat_write_header(ofmt, nullptr) < 0)
       return fail("cannot write header");
+    header_written = true;
     pkt = av_packet_alloc();
     return 0;
   }
@@ -502,8 +504,10 @@ struct Encoder {
 
   int close() {
     int rc = 0;
-    if (enc) rc = push(nullptr);
-    if (ofmt) av_write_trailer(ofmt);
+    // Only flush/trailer when the header was written: av_write_trailer on a
+    // never-initialized muxer (e.g. open failed on a bad path) crashes.
+    if (enc && header_written) rc = push(nullptr);
+    if (ofmt && header_written) av_write_trailer(ofmt);
     if (pkt) av_packet_free(&pkt);
     if (enc) avcodec_free_context(&enc);
     if (ofmt) {

@@ -48,3 +48,19 @@ def test_transcode_garbage_raises(tmp_path):
     p.write_bytes(b"\x00" * 1000)
     with pytest.raises(RuntimeError):
         vio.transcode(str(p), str(tmp_path / "out.mp4"), crf=30)
+
+
+def test_encode_to_missing_directory_raises(tmp_path):
+    # Regression: av_write_trailer on a never-opened muxer used to segfault.
+    rgb = np.zeros((2, 16, 16, 3), np.uint8)
+    from fractions import Fraction
+
+    with pytest.raises(RuntimeError):
+        vio.encode_raw_rgb(
+            str(tmp_path / "no_such_dir" / "out.mp4"), rgb, fps=Fraction(30, 1)
+        )
+    # transcode to a missing directory must also raise cleanly
+    src = str(tmp_path / "src.mp4")
+    vio.encode_raw_rgb(src, rgb, fps=Fraction(30, 1))
+    with pytest.raises(RuntimeError):
+        vio.transcode(src, str(tmp_path / "no_such_dir" / "out.mp4"))

@@ -7,6 +7,10 @@ SURVEY.md §4). Must be set before jax initializes.
 
 import os
 
+# NOTE: the heavy lifting (escaping the axon TPU sitecustomize environment)
+# happens in rtvqa_test_env.py, loaded via addopts `-p rtvqa_test_env` before
+# pytest's capture plugin starts — see that module.
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

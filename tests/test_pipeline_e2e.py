@@ -107,3 +107,18 @@ def test_sweep_with_resume(env, tmp_path):
         manifest_path=manifest,
     )
     assert stats3["done"] == 1 and stats3["failed"] == 1
+
+
+def test_crf_ladder_quality_monotone(env, tmp_path):
+    """Higher CRF => strictly worse PSNR/SSIM and no better VMAF."""
+    from rtvqa_tpu.io import video as vio
+    from rtvqa_tpu.metrics.full_reference import analyze_full_reference
+
+    results = {}
+    for crf in (18, 40):
+        enc = str(tmp_path / f"enc{crf}.mp4")
+        vio.transcode(env["clip"], enc, crf=crf, preset="veryfast")
+        results[crf] = analyze_full_reference(env["clip"], enc)
+    assert results[18]["psnr"] > results[40]["psnr"]
+    assert results[18]["ssim"] > results[40]["ssim"]
+    assert results[18]["vmaf"] >= results[40]["vmaf"]

@@ -39,9 +39,18 @@ def _frame_features(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.nda
     return out
 
 
-def extract_features(ref_clip, dis_clip, chunk: int = 16) -> dict[str, np.ndarray]:
-    """Per-frame VMAF features for two decoded clips (luma planes)."""
+def extract_features(
+    ref_clip, dis_clip, chunk: Optional[int] = None
+) -> dict[str, np.ndarray]:
+    """Per-frame VMAF features for two decoded clips (luma planes).
+
+    The combined VIF+ADM program's compile-time HBM budget allows ~4
+    simultaneous 1080p frames; the default chunk scales with resolution.
+    """
     n = min(ref_clip.y.shape[0], dis_clip.y.shape[0])
+    h, w = ref_clip.y.shape[1:]
+    if chunk is None:
+        chunk = max(1, min(64, int(4 * (1080 * 1920) / max(h * w, 1))))
     feats: dict[str, list[np.ndarray]] = {}
     for start in range(0, n, chunk):
         end = min(start + chunk, n)

@@ -94,3 +94,13 @@ def test_transcode(clip_path, tmp_path):
 def test_missing_file():
     with pytest.raises(FileNotFoundError):
         vio.decode_sampled("/nonexistent/clip.mp4", 1)
+
+
+def test_decode_threads_deterministic(clip_path):
+    # num_workers plumbs to the decoder thread count; output must be
+    # identical regardless (SURVEY.md §2.4(8) — honoured, not just accepted).
+    a = vio.decode_sampled(clip_path, 1, threads=1)
+    b = vio.decode_sampled(clip_path, 1, threads=4)
+    np.testing.assert_array_equal(a.y, b.y)
+    np.testing.assert_array_equal(a.u, b.u)
+    np.testing.assert_allclose(a.timestamps_ms, b.timestamps_ms)

@@ -72,7 +72,7 @@ def csf_rfactors(scale: int) -> tuple[float, float, float]:
 def _dwt_1level(x: jnp.ndarray):
     """One db2 DWT level over trailing (H, W): returns (a, h, v, d), each
     (..., H/2, W/2). Mirrored borders; even-phase decimation."""
-    from rtvqa_tpu.vmaf.filters import filter1d_sep_axis
+    from rtvqa_tpu.vmaf.filters import even_lanes, filter1d_sep_axis
 
     lo_rows = filter1d_sep_axis(x, DB2_LO, axis=-2)
     hi_rows = filter1d_sep_axis(x, DB2_HI, axis=-2)
@@ -80,8 +80,9 @@ def _dwt_1level(x: jnp.ndarray):
     hi_rows = hi_rows[..., ::2, :]
 
     def cols(y, taps):
-        out = filter1d_sep_axis(y, taps, axis=-1)
-        return out[..., :, ::2]
+        # Lane decimation via selection matmul (strided lane slices force a
+        # TPU vector relayout).
+        return even_lanes(filter1d_sep_axis(y, taps, axis=-1))
 
     a = cols(lo_rows, DB2_LO)
     v = cols(hi_rows, DB2_LO)   # vertical detail: hi on rows, lo on cols

@@ -2,11 +2,12 @@
 
 All VMAF features are built on 1D separable convolutions over the luma plane
 (Gaussian windows for VIF, a 5-tap blur for motion, db2 wavelet taps for
-ADM). The JAX path runs them as true depthwise convolutions
-(``lax.conv_general_dilated``) over reflect-padded inputs — at 1080p a dense
-band-matrix formulation would cost ~64x the FLOPs of the k-tap conv. Border
-mode is mirrored reflection without edge repetition (scipy 'mirror', matching
-libvmaf's vif_filter1d), implemented via ``jnp.pad(mode='reflect')``.
+ADM). The JAX path evaluates them as k statically-shifted scaled adds over
+reflect-padded inputs, which XLA fuses into a few VPU passes (a
+single-channel ``lax.conv`` lowers degenerately on TPU; a dense band-matrix
+matmul burns ~64x the FLOPs at 1080p). Border mode is mirrored reflection
+without edge repetition (scipy 'mirror', matching libvmaf's vif_filter1d),
+implemented via ``jnp.pad(mode='reflect')``.
 
 The NumPy oracles intentionally use an independent dense band-matrix
 construction (``_conv_matrix``) so JAX/oracle agreement is meaningful.
@@ -72,9 +73,34 @@ def filter1d_sep_axis(
     return _conv_1d(x, taps, axis, mode)
 
 
+@functools.lru_cache(maxsize=64)
+def _even_sel_matrix(n: int) -> np.ndarray:
+    """(n, ceil(n/2)) 0/1 matrix selecting even indices."""
+    m = np.zeros((n, (n + 1) // 2), np.float32)
+    for c in range(m.shape[1]):
+        m[2 * c, c] = 1.0
+    return m
+
+
+def even_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Keep even indices of the LAST axis via a 0/1 selection matmul.
+
+    A lane-dim strided slice forces a vector relayout on TPU; the MXU matmul
+    (HIGHEST precision — exact for selection) is far cheaper.
+    """
+    sel = jnp.asarray(_even_sel_matrix(x.shape[-1]))
+    return jnp.einsum(
+        "...hw,wc->...hc", x.astype(jnp.float32), sel,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def decimate2(x: jnp.ndarray) -> jnp.ndarray:
-    """Subsample trailing (H, W) by 2 (keep even indices, libvmaf style)."""
-    return x[..., ::2, ::2]
+    """Subsample trailing (H, W) by 2 (keep even indices, libvmaf style).
+
+    Rows decimate by sublane slicing (cheap); lanes by selection matmul.
+    """
+    return even_lanes(x[..., ::2, :])
 
 
 # --- NumPy oracles (independent dense band-matrix construction) ------------

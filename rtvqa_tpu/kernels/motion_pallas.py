@@ -51,31 +51,32 @@ def _bm_kernel(curr_ref, prev_hbm_ref, out_ref, prev_vmem, sem, *, block, radius
     curr = curr_ref[0]  # (block, wq)
     wq = curr.shape[1]
     n_blocks = wb // block
+    nb_pad = ((n_blocks + 127) // 128) * 128  # lane-aligned block count (4K+)
     side = 2 * radius + 1
     rows_total = block + 2 * radius
 
     # Block-pooling matrix: P[j, c] = 1 iff lane j belongs to block c and
-    # j < wb (masks the lane padding). All (2r+1)^2 displacement SAD rows are
-    # built first, then pooled with ONE well-shaped MXU matmul — a per-
-    # displacement (1, wq) matmul would waste 127/128 of the systolic array.
-    # n_blocks <= 128 per call (host wrapper falls back to XLA otherwise).
-    lane_j = jax.lax.broadcasted_iota(jnp.int32, (wq, 128), 0)
-    block_c = jax.lax.broadcasted_iota(jnp.int32, (wq, 128), 1)
+    # j < wb (masks the lane padding). One (wq, nb_pad) matrix per call; the
+    # host wrapper splits wide frames into <=2048-lane column bands, so this
+    # stays ~1 MB of VMEM.
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (wq, nb_pad), 0)
+    block_c = jax.lax.broadcasted_iota(jnp.int32, (wq, nb_pad), 1)
     pool = ((lane_j // block == block_c) & (lane_j < wb)).astype(jnp.float32)
+
+    def pool_rows(cs):
+        return jnp.dot(cs, pool, preferred_element_type=jnp.float32)
 
     dma.wait()
 
     # Static-shift rolls (Mosaic rejects dynamic sublane offsets; static
     # rotates lower to cheap lane/sublane shifts). Row-roll once per dy,
-    # lane-roll per dx. Wrapped lanes land beyond wb and are masked by P.
-    # The search is chunked by dy: each chunk pools its `side` SAD rows with
-    # one (side, wq) x (wq, 128) matmul and folds into a running argmin —
-    # bounding live VMEM values to one chunk (an all-289-row concat kept too
-    # many registers/VMEM values alive and could crash the worker when fused
-    # into larger programs).
+    # lane-roll per dx. The search is chunked by dy: each chunk pools its
+    # `side` SAD rows and folds into a running argmin — bounding live VMEM
+    # values to one chunk (an all-289-row concat kept too many values alive
+    # and could crash the worker when fused into larger programs).
     strip = prev_vmem[...]
-    best_sad = jnp.full((1, 128), jnp.inf, jnp.float32)
-    best_k = jnp.zeros((1, 128), jnp.int32)
+    best_sad = jnp.full((1, nb_pad), jnp.inf, jnp.float32)
+    best_k = jnp.zeros((1, nb_pad), jnp.int32)
     for dy in range(side):
         rows_rolled = pltpu.roll(strip, rows_total - dy, axis=0)[:block]
         colsums = []
@@ -84,9 +85,13 @@ def _bm_kernel(curr_ref, prev_hbm_ref, out_ref, prev_vmem, sem, *, block, radius
             d = jnp.abs(curr - win)
             colsums.append(jnp.sum(d, axis=0, keepdims=True))       # (1, wq)
         cs = jnp.concatenate(colsums, axis=0)                        # (side, wq)
-        sad = jnp.dot(cs, pool, preferred_element_type=jnp.float32)  # (side, 128)
-        k_local = jnp.argmin(sad, axis=0).reshape(1, 128).astype(jnp.int32)
-        m = jnp.min(sad, axis=0).reshape(1, 128)
+        sad = pool_rows(cs)                                          # (side, nb_pad)
+        sad = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, sad.shape, 1) < n_blocks,
+            sad, jnp.inf,
+        )
+        k_local = jnp.argmin(sad, axis=0).reshape(1, nb_pad).astype(jnp.int32)
+        m = jnp.min(sad, axis=0).reshape(1, nb_pad)
         # Strict '<' keeps the earlier (raster-order) chunk on ties, and
         # argmin's first-occurrence rule handles ties within a chunk — the
         # XLA op's first-minimum tie-breaking exactly.
@@ -96,55 +101,25 @@ def _bm_kernel(curr_ref, prev_hbm_ref, out_ref, prev_vmem, sem, *, block, radius
 
     fdy = (best_k // side - radius).astype(jnp.float32)
     fdx = (best_k % side - radius).astype(jnp.float32)
-    mag = jnp.sqrt(fdy * fdy + fdx * fdx)                            # (1, 128)
+    mag = jnp.sqrt(fdy * fdy + fdx * fdx)                            # (1, nb_pad)
     lane_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < n_blocks
+        jax.lax.broadcasted_iota(jnp.int32, (1, nb_pad), 1) < n_blocks
     ).astype(jnp.float32)
     mean_mag = jnp.sum(mag * lane_mask) / n_blocks
     # TPU lowering rejects sub-(8,128) output blocks; write a 128-lane row.
     out_ref[0, s, :] = jnp.full((128,), mean_mag, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "radius", "interpret"))
-def block_match_motion_pallas(
-    prev_gray: jnp.ndarray,
-    curr_gray: jnp.ndarray,
-    block: int = 16,
-    radius: int = 8,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Mean block displacement magnitude per pair: (B, H, W) -> (B,).
+def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
+    """Invoke the kernel on lane-aligned, pre-padded band arrays.
 
-    Numerically identical to `ops.motion.block_match_motion` (same
-    first-minimum tie-breaking, same edge replication).
-    """
-    b, h, w = curr_gray.shape
-    hb, wb = (h // block) * block, (w // block) * block
-    if wb // block > 128:
-        # The in-kernel pooling matmul packs one strip's block SADs into a
-        # single 128-lane register row; wider-than-2048px frames (at 16px
-        # blocks) would need multi-tile pooling — fall back to the XLA op.
-        from rtvqa_tpu.ops.motion import block_match_motion
-
-        return block_match_motion(prev_gray, curr_gray, block=block, radius=radius)
-    curr = curr_gray[:, :hb, :wb].astype(jnp.float32)
-    prev = prev_gray[:, :hb, :wb].astype(jnp.float32)
-
-    # Host-side halo: pad prev by r (edge replicate). curr is lane-aligned to
-    # wq; prev must extend at least wq + 2r columns so that every dx in
-    # [0, 2r] yields an in-bounds width-wq window (a short prev would make
-    # dynamic_slice clamp the start and alias all displacements). The pad
-    # region beyond wb is masked out by the [:wb] crop inside the kernel.
-    wq = _round_up(wb, 128)
-    wp = _round_up(wq + 2 * radius, 128)
-    prev_p = jnp.pad(
-        prev, ((0, 0), (radius, radius), (radius, wp - wb - radius)), mode="edge"
-    )
-    curr_p = jnp.pad(curr, ((0, 0), (0, 0), (0, wq - wb)), mode="edge")
-
+    curr_p: (B, hb, wq); prev_p: (B, hb + 2r, wp) with wp >= wq + 2r and the
+    horizontal/vertical halos already filled (real neighbor data for interior
+    band edges, edge replication at frame borders)."""
+    b = curr_p.shape[0]
+    wq = curr_p.shape[2]
     n_strips = hb // block
     rows = block + 2 * radius
-
     out = pl.pallas_call(
         functools.partial(_bm_kernel, block=block, radius=radius, wb=wb),
         out_shape=jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
@@ -159,9 +134,68 @@ def block_match_motion_pallas(
             (1, n_strips, 128), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, wp), jnp.float32),
+            pltpu.VMEM((rows, prev_p.shape[2]), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(curr_p, prev_p)
     return jnp.mean(out[..., 0], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "radius", "interpret"))
+def block_match_motion_pallas(
+    prev_gray: jnp.ndarray,
+    curr_gray: jnp.ndarray,
+    block: int = 16,
+    radius: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Mean block displacement magnitude per pair: (B, H, W) -> (B,).
+
+    Numerically identical to `ops.motion.block_match_motion` (same
+    first-minimum tie-breaking, same edge replication). Frames wider than
+    2048 px (4K) are processed as column bands of <=2048 lanes — keeping the
+    kernel's VMEM footprint bounded — with each interior band's search
+    window drawn from the real neighboring pixels of the full padded
+    previous frame.
+    """
+    b, h, w = curr_gray.shape
+    hb, wb = (h // block) * block, (w // block) * block
+    curr = curr_gray[:, :hb, :wb].astype(jnp.float32)
+    prev = prev_gray[:, :hb, :wb].astype(jnp.float32)
+
+    # Full-frame halo: pad prev by r with edge replication (vertically and
+    # horizontally); bands slice real halo data out of this array.
+    prev_full = jnp.pad(prev, ((0, 0), (radius, radius), (radius, radius)),
+                        mode="edge")
+
+    BAND = 2048
+    n_blocks_total = wb // block
+    band_means = []
+    band_weights = []
+    for b0 in range(0, wb, BAND):
+        bw = min(BAND, wb - b0)             # band width (multiple of block)
+        wq = _round_up(bw, 128)
+        wp = _round_up(wq + 2 * radius, 128)
+        curr_b = curr[:, :, b0 : b0 + bw]
+        if wq > bw:
+            curr_b = jnp.pad(curr_b, ((0, 0), (0, 0), (0, wq - bw)), mode="edge")
+        # prev band: [b0 - r, b0 + bw + r) in original coords = padded
+        # [b0, b0 + bw + 2r); extend with edge padding up to wp.
+        prev_b = jax.lax.dynamic_slice(
+            prev_full, (0, 0, b0), (b, hb + 2 * radius, bw + 2 * radius)
+        )
+        if wp > bw + 2 * radius:
+            prev_b = jnp.pad(
+                prev_b, ((0, 0), (0, 0), (0, wp - bw - 2 * radius)), mode="edge"
+            )
+        band_means.append(
+            _bm_pallas_call(curr_b, prev_b, hb, bw, block, radius, interpret)
+        )
+        band_weights.append(bw // block)
+
+    if len(band_means) == 1:
+        return band_means[0]
+    weights = jnp.asarray(band_weights, jnp.float32)
+    stacked = jnp.stack(band_means, axis=-1)          # (B, n_bands)
+    return jnp.sum(stacked * weights, axis=-1) / n_blocks_total

@@ -25,3 +25,14 @@ def test_block_match_pallas_static(rng):
     f = rng.integers(0, 256, (1, 32, 128)).astype(np.float32)
     got = np.asarray(block_match_motion_pallas(f, f, block=16, radius=8, interpret=True))
     assert float(got[0]) == 0.0
+
+
+def test_block_match_pallas_wide_frame(rng):
+    # >128 blocks per row (the 4K case) exercises multi-tile lane pooling.
+    prev = rng.integers(0, 256, (1, 32, 2176)).astype(np.float32)
+    curr = np.roll(prev, 3, axis=2)
+    got = np.asarray(
+        block_match_motion_pallas(prev, curr, block=16, radius=4, interpret=True)
+    )
+    exp = np.asarray(block_match_motion(prev, curr, block=16, radius=4))
+    np.testing.assert_allclose(got, exp, rtol=1e-5)

@@ -31,8 +31,8 @@ import time
 import numpy as np
 
 H, W = 1080, 1920
-N_DEVICE = 32    # frames per complexity-suite / program-A batch
-N_B = 16         # frames per VIF+ADM (program B) call — compile-time HBM budget
+N_DEVICE = 128   # frames per batch — all three programs compile at 128 since
+N_B = 128        # the Pallas VIF kernel cut program B's HBM peak (round 2)
 REPS = 2
 N_CPU = 2        # frames for the CPU baseline (extrapolated)
 

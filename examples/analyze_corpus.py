@@ -2,8 +2,9 @@
 
 Generates a small synthetic corpus with the framework's own encoder, then:
 
-1. runs the resumable CRF-ladder sweep (one CSV row per (clip, crf), failures
-   isolated, interrupted runs resume via the JSONL manifest);
+1. runs the resumable device-parallel CRF-ladder sweep (one CSV row per
+   (clip, crf), quality sharded over the frame axis, complexity batched over
+   all items, failures isolated, interrupted runs resume via the manifest);
 2. runs the device-parallel complexity analysis over the whole corpus at once
    (clips data-parallel, each clip's frame axis sequence-parallel across the
    mesh — on a single chip this degrades to one device gracefully).
@@ -26,7 +27,7 @@ from rtvqa_tpu.config import Config
 from rtvqa_tpu.io import video as vio
 from rtvqa_tpu.obs.profiler import StageTimer
 from rtvqa_tpu.pipeline.batch_analyzer import analyze_clips_sharded
-from rtvqa_tpu.pipeline.sweep import run_sweep
+from rtvqa_tpu.pipeline.sweep import run_sweep_sharded
 
 
 def make_corpus(workdir: str, n_clips: int = 3, frames: int = 48) -> list[str]:
@@ -63,9 +64,11 @@ def main() -> int:
         csv_file=f"{workdir}/corpus.csv",
     )
 
-    with timer.stage("crf_ladder_sweep"):
-        stats = run_sweep(corpus, cfg, crf_ladder=(23, 33),
-                          manifest_path=f"{workdir}/manifest.jsonl")
+    # The integrated device-parallel sweep: quality sharded over the frame
+    # axis, complexity batched over (clip x crf) items on a clip x frame mesh.
+    with timer.stage("crf_ladder_sweep_sharded"):
+        stats = run_sweep_sharded(corpus, cfg, crf_ladder=(23, 33),
+                                  manifest_path=f"{workdir}/manifest.jsonl")
     print(f"sweep: {stats}  (rerun me: already-done items are skipped)")
 
     with timer.stage("sharded_batch_analysis"):

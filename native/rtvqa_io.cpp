@@ -466,8 +466,26 @@ struct Encoder {
     enc->framerate = fps;
     if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
       enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    // Pin x264 to one deterministic thread: with threads=auto the encoded
+    // bitstream varies run-to-run (observed: same input + settings, pixel
+    // maxdiff ~90 across processes), which breaks reproducible sweeps and
+    // the sharded-vs-sequential row-equality guarantee. One core is all
+    // this host has anyway; thread_count=1 also disables the lookahead
+    // threads x264 derives from it.
+    enc->thread_count = 1;
     av_opt_set(enc->priv_data, "preset", preset, 0);
     av_opt_set_double(enc->priv_data, "crf", crf, 0);
+    // mbtree OFF by default: this build's mbtree lookahead produces
+    // heap-layout-dependent bitstreams (bisect: mbtree=0 or rc-lookahead=0
+    // stable; threads=1, zeroed input padding, FP-env reset, CFR durations
+    // all insufficient), i.e. encodes were not a pure function of the
+    // pixels. Deterministic encodes are a framework guarantee (same clip
+    // twice -> bit-identical CSV row); the rate-allocation difference is a
+    // documented divergence (docs/PARITY.md). Override with
+    // RTVQA_X264_PARAMS=mbtree=1 to restore x264 defaults.
+    av_opt_set(enc->priv_data, "x264-params", "mbtree=0", 0);
+    if (const char* xp = getenv("RTVQA_X264_PARAMS"))
+      av_opt_set(enc->priv_data, "x264-params", xp, 0);
     if (avcodec_open2(enc, codec, nullptr) < 0) return fail("cannot open libx264");
     ost = avformat_new_stream(ofmt, nullptr);
     ost->time_base = enc->time_base;
@@ -497,9 +515,37 @@ struct Encoder {
   }
 
   int push(AVFrame* f) {
-    if (f) f->pts = next_pts++;
-    if (avcodec_send_frame(enc, f) < 0) return fail("send frame failed");
-    return drain();
+    if (!f) {
+      if (avcodec_send_frame(enc, nullptr) < 0) return fail("send frame failed");
+      return drain();
+    }
+    // Deep-copy the frame into a freshly allocated, fully ZEROED buffer
+    // before handing it to libx264. Decoder/pool frames carry unzeroed
+    // stride + allocation padding; x264's vectorized plane copy / lookahead
+    // overreads row tails into that padding, making the encoded bitstream
+    // depend on heap garbage (observed: same input + settings produced
+    // pixel-level different outputs whenever unrelated allocations ran in
+    // between, and across processes). Zeroed padding makes the encode a
+    // pure function of the pixels. Cost: one memset+memcpy per frame —
+    // noise next to the encode itself.
+    AVFrame* c = av_frame_alloc();
+    if (!c) return fail("oom");
+    c->format = f->format;
+    c->width = f->width;
+    c->height = f->height;
+    if (av_frame_get_buffer(c, 64) < 0) {
+      av_frame_free(&c);
+      return fail("frame buffer alloc failed");
+    }
+    for (int i = 0; c->buf[i]; ++i)
+      memset(c->buf[i]->data, 0, c->buf[i]->size);
+    av_frame_copy(c, f);
+    av_frame_copy_props(c, f);
+    c->pts = next_pts++;
+    c->pkt_duration = 1;  // one tick of enc->time_base (= 1/fps): CFR input
+    int rc = avcodec_send_frame(enc, c) < 0 ? fail("send frame failed") : drain();
+    av_frame_free(&c);
+    return rc;
   }
 
   int close() {

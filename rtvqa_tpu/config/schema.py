@@ -41,7 +41,14 @@ class Config:
     preset: str = "medium"
     # "native" = on-device PSNR/SSIM/VMAF; "none" = skip quality metrics.
     quality_backend: str = "native"
-    # Number of devices to shard the frame axis over (None = all local devices).
+    # Without a real libvmaf model file (vmaf_model_path) the predictor falls
+    # back to an invented builtin model whose scores are NOT libvmaf-parity.
+    # By default the CSV "VMAF" cell is left empty in that case; set this to
+    # true to opt in to writing the builtin fallback score.
+    allow_builtin_vmaf: bool = False
+    # Devices used by the sharded paths (run_sweep_sharded /
+    # analyze_clips_sharded): mesh size = min(this, local devices).
+    # None = all local devices.
     data_parallel_devices: Optional[int] = None
     # Streaming (bounded-memory) complexity analysis: True/False, or None =
     # auto (streams when the analyzed file exceeds ~256 MB).

@@ -67,13 +67,15 @@ def _filt_sublanes(x, taps, rows_total):
 def _vif0_kernel(
     ref_hbm, dis_hbm, out_nd_ref, dec_ref_out, dec_dis_out,
     rbuf, dbuf, sem_r, sem_d,
-    *, strip: int, w: int, wq: int, wd: int,
+    *, strip: int, h: int, w: int, wq: int,
 ):
     """Grid (B, n_strips). Strip s covers output rows [s*strip, (s+1)*strip).
 
     Inputs are reflect-padded by HALO on both axes on the host: padded row r
     corresponds to original row r - HALO; the strip needs padded rows
-    [s*strip, s*strip + strip + 2*HALO).
+    [s*strip, s*strip + strip + 2*HALO). When H is not a multiple of the
+    strip size (e.g. 1080 = 67*16 + 8), the host edge-pads the bottom and the
+    last strip masks its num/den sums to the ``h - s*strip`` valid rows.
     """
     i = pl.program_id(0)
     s = pl.program_id(1)
@@ -130,7 +132,8 @@ def _vif0_kernel(
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wq), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wq), 1)
-    valid = (row_ids < strip) & (col_ids < w)
+    strip_valid = jnp.minimum(strip, h - s * strip)  # ragged last strip
+    valid = (row_ids < strip_valid) & (col_ids < w)
     num_sum = jnp.sum(jnp.where(valid, num, 0.0))
     den_sum = jnp.sum(jnp.where(valid, den, 0.0))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -158,35 +161,27 @@ def _vif0_kernel(
 
     f_r = filt9(r)
     f_d = filt9(d)
-    # Row decimation: even output rows 0,2,..,strip-2 = sublanes 0..strip/2-1
-    # after a stride-2 row selection — rows are the sublane axis, where
-    # Mosaic supports strided static slicing poorly; use a selection matmul
-    # on the TRANSPOSED problem instead: select even LANES with a 0/1 matrix
-    # (wq, wd) on the MXU, and even rows via a sublane-selection matmul
-    # (strip/2, rows) from the left.
-    lane_sel_rows = jax.lax.broadcasted_iota(jnp.int32, (wq, wd), 0)
-    lane_sel_cols = jax.lax.broadcasted_iota(jnp.int32, (wq, wd), 1)
-    lane_sel = (lane_sel_rows == 2 * lane_sel_cols).astype(jnp.float32)
+    # Row decimation only, in-kernel: even output rows 0,2,..,strip-2 via a
+    # small sublane-selection matmul (strip/2, rows) from the left — rows are
+    # the sublane axis, where Mosaic supports strided static slicing poorly.
+    # LANE decimation happens OUTSIDE the kernel (filters.even_lanes, one MXU
+    # matmul on the half-height array): an in-kernel (wq, wd) lane-selection
+    # matrix costs 8 MB of VMEM at 1080p and blew the 16 MB scoped budget.
     row_sel_r = jax.lax.broadcasted_iota(jnp.int32, (strip // 2, rows), 0)
     row_sel_c = jax.lax.broadcasted_iota(jnp.int32, (strip // 2, rows), 1)
     row_sel = (row_sel_c == 2 * row_sel_r).astype(jnp.float32)
 
-    def decimate(x):
+    def dec_rows(x):
         # HIGHEST precision: a 0/1 selection matmul in default (bf16-class)
         # precision rounds the selected values themselves.
-        cols = jnp.dot(
-            x, lane_sel,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
         return jnp.dot(
-            row_sel, cols,
+            row_sel, x,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    dec_ref_out[0, :, :] = decimate(f_r)
-    dec_dis_out[0, :, :] = decimate(f_d)
+    dec_ref_out[0, :, :] = dec_rows(f_r)
+    dec_dis_out[0, :, :] = dec_rows(f_d)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -197,36 +192,40 @@ def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = 
     the per-frame scale-0 feature plus scale 1's inputs (9-tap filtered and
     decimated, identical to `vmaf.filters` semantics).
 
-    Requires H % 16 == 0 (strip size); W arbitrary.
+    H and W arbitrary (H >= 17 for the reflect halo); a ragged final row
+    strip is masked in-kernel and its decimated tail sliced off.
     """
     b, h, w = ref_y.shape
     strip = 16
-    assert h % strip == 0, "vif_scale0_pallas needs H % 16 == 0"
     ref = ref_y.astype(jnp.float32)
     dis = dis_y.astype(jnp.float32)
 
+    n_strips = -(-h // strip)  # ceil: last strip ragged when h % 16 != 0
+    h_pad = n_strips * strip
     wq = _round_up(w + 2 * HALO, 128)
-    wd = _round_up(w // 2, 128)
     pad_rows = ((0, 0), (HALO, HALO), (0, 0))
     pad_cols_reflect = ((0, 0), (0, 0), (HALO, HALO))
 
     def prep(x):
         x = jnp.pad(x, pad_cols_reflect, mode="reflect")
         x = jnp.pad(x, pad_rows, mode="reflect")
-        return jnp.pad(x, ((0, 0), (0, 0), (0, wq - w - 2 * HALO)), mode="edge")
+        # Bottom edge-fill for the ragged strip (consumed only by masked-out
+        # rows) + lane round-up.
+        return jnp.pad(
+            x, ((0, 0), (0, h_pad - h), (0, wq - w - 2 * HALO)), mode="edge"
+        )
 
     ref_p = prep(ref)
     dis_p = prep(dis)
 
-    n_strips = h // strip
     rows = strip + 2 * HALO
 
     out_nd, dec_ref, dec_dis = pl.pallas_call(
-        functools.partial(_vif0_kernel, strip=strip, w=w, wq=wq, wd=wd),
+        functools.partial(_vif0_kernel, strip=strip, h=h, w=w, wq=wq),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_strips * strip // 2, wd), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_strips * strip // 2, wd), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_strips * strip // 2, wq), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_strips * strip // 2, wq), jnp.float32),
         ),
         grid=(b, n_strips),
         in_specs=[
@@ -236,9 +235,9 @@ def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = 
         out_specs=(
             pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strip // 2, wd), lambda i, s: (i, s, 0),
+            pl.BlockSpec((1, strip // 2, wq), lambda i, s: (i, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strip // 2, wd), lambda i, s: (i, s, 0),
+            pl.BlockSpec((1, strip // 2, wq), lambda i, s: (i, s, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -253,19 +252,20 @@ def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = 
     num = jnp.sum(out_nd[..., 0], axis=-1)
     den = jnp.sum(out_nd[..., 1], axis=-1)
     vif0 = num / jnp.maximum(den, _EPS)
-    return vif0, dec_ref[:, :, : w // 2], dec_dis[:, :, : w // 2]
+    # Kernel outputs are row-decimated, full padded width; finish with the
+    # lane decimation (one MXU selection matmul on the half-height array).
+    hd = (h + 1) // 2  # decimate2 keeps even indices
+    from rtvqa_tpu.vmaf.filters import even_lanes
+
+    dr = even_lanes(dec_ref[:, :hd, :w])
+    dd = even_lanes(dec_dis[:, :hd, :w])
+    return vif0, dr, dd
 
 
 def vif_features_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.ndarray]:
     """VIF at 4 scales with the fused Pallas scale-0; scales 1-3 in XLA
     (quarter-size and cheap). Matches `vmaf.vif.vif_features`."""
     from rtvqa_tpu.vmaf.vif import _vif_scale_stats
-
-    h = ref_y.shape[-2]
-    if h % 16 != 0:
-        from rtvqa_tpu.vmaf.vif import vif_features
-
-        return vif_features(ref_y, dis_y)
 
     interpret = jax.default_backend() == "cpu"
     vif0, ref, dis = vif_scale0_pallas(ref_y, dis_y, interpret=interpret)

@@ -8,15 +8,19 @@ videos stream through the native decoder in lockstep batches (prefetched on a
 background thread — host decode overlaps device compute) and two jitted
 programs compute every per-frame quantity:
 
-* **program A** (cheap, large batches): PSNR plane MSEs (vf_psnr semantics),
-  SSIM Y/U/V/All (x264 algorithm), and blurred-luma SADs for VMAF
-  motion/motion2 (a carried blurred frame stitches chunk boundaries);
-* **program B** (filter-heavy, half batches): VIF scales 0-3 + ADM2.
+* **program A** (cheap): PSNR plane MSEs (vf_psnr semantics), SSIM Y/U/V/All
+  (x264 algorithm), and blurred-luma SADs for VMAF motion/motion2 (a carried
+  blurred frame stitches chunk boundaries);
+* **program B** (filter-heavy): VIF scales 0-3 (fused Pallas scale-0 kernel
+  on TPU) + ADM2, on the same full chunk.
 
 Splitting matters twice on this hardware: each program's peak HBM stays
 under the compile-time budget at a larger batch (amortizing the tunnel's
 fixed ~40 ms per-call cost), and each call returns ONE packed array — one
-device→host fetch (every fetched array costs a full RPC round trip).
+device→host fetch (every fetched array costs a full RPC round trip). The
+programs are dispatched strictly serialized (A materialized before B starts)
+because concurrent residency of two near-ceiling programs can crash the
+remote worker.
 
 Per-frame scalars return to the host; pooling (mean MSE → PSNR, mean SSIM,
 per-frame SVR → mean VMAF) happens at the end. Device memory stays bounded
@@ -83,7 +87,7 @@ def _program_b(ry, dy):
     ryf = ry.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     out = {}
-    if jax.default_backend() != "cpu" and ry.shape[-2] % 16 == 0:
+    if jax.default_backend() != "cpu":
         from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 
         out.update(vif_features_pallas(ryf, dyf))
@@ -94,16 +98,18 @@ def _program_b(ry, dy):
 
 
 def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
-    """Frames per stream chunk (program A's batch), scaled to resolution.
+    """Frames per stream chunk (one program A call + one program B call),
+    scaled to resolution.
 
-    Program B runs on halves of this. The device slice here rejects programs
-    beyond roughly 32 simultaneous 1080p frames for A / 16 for B at compile
-    time; smaller frames batch proportionally more.
+    With the fused Pallas VIF scale-0 kernel (round 2), program B's HBM peak
+    dropped enough that both programs compile at 128 simultaneous 1080p
+    frames; 64 balances that against host decode latency and RAM. Larger
+    chunks amortize the tunnel's ~40 ms fixed cost per program call.
     """
-    budget = max(2, int(32 * (1080 * 1920) / max(width * height, 1)))
+    budget = max(2, int(64 * (1080 * 1920) / max(width * height, 1)))
     budget = min(budget, 256)
     chunk = min(requested or budget, budget)
-    return max(2, (chunk // 2) * 2)  # even, so B halves evenly
+    return max(2, (chunk // 2) * 2)
 
 
 def analyze_full_reference(
@@ -116,7 +122,6 @@ def analyze_full_reference(
     probe = VideoStream(ref_path, 1, 1)
     chunk = auto_chunk(probe.info.width, probe.info.height, chunk)
     probe.close()
-    half = chunk // 2
     ref_it = prefetch(VideoStream(ref_path, 1, chunk), depth=1)
     dis_it = prefetch(VideoStream(dis_path, 1, chunk), depth=1)
 
@@ -149,12 +154,11 @@ def analyze_full_reference(
         packed_a, carry_blur = _program_a(
             ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
         )
-        packed_b = np.concatenate(
-            [np.asarray(_program_b(ry[s : s + half], dy[s : s + half]))
-             for s in range(0, chunk, half)],
-            axis=1,
-        )
-        packed_a = np.asarray(packed_a)  # one fetch per program call
+        # Materialize A BEFORE dispatching B: both programs run near the
+        # compile-time HBM ceiling, and concurrent residency of two big
+        # programs can crash the TPU worker (CLAUDE.md). One fetch per call.
+        packed_a = np.asarray(packed_a)
+        packed_b = np.asarray(_program_b(ry, dy))
         for row, k in enumerate(A_KEYS):
             series.setdefault(k, []).append(packed_a[row, :n])
         for row, k in enumerate(B_KEYS):
@@ -167,7 +171,17 @@ def analyze_full_reference(
     s = {k: np.concatenate(v) for k, v in series.items()}
     if n_frames == 0:
         return {"n_frames": 0}
+    return pool_full_reference(s, n_frames, vmaf_model_path)
 
+
+def pool_full_reference(
+    s: dict[str, np.ndarray], n_frames: int, vmaf_model_path: Optional[str] = None
+) -> dict:
+    """Pool per-frame series (keys ``CHUNK_KEYS``, each (n_frames,)) into the
+    final metrics dict. Shared by the streaming single-device engine above and
+    the sharded multi-chip step (``pipeline.quality_sharded``) so both paths
+    pool identically (PSNR mean-MSE pooling, motion2 min rule, SVR predict).
+    """
     valid = np.ones(n_frames, bool)
     psnr = float(np.asarray(pooled_psnr(jnp.asarray(s["mse_avg"]), jnp.asarray(valid))))
     ssim = float(np.mean(s["ssim_all"]))
@@ -186,6 +200,7 @@ def analyze_full_reference(
         "vif_scale2": s["vif_scale2"],
         "vif_scale3": s["vif_scale3"],
     }
+    vmaf_is_fallback = not vmaf_model_path
     if vmaf_model_path:
         model = load_model(vmaf_model_path)
     else:
@@ -209,4 +224,8 @@ def analyze_full_reference(
             **feats,
         },
         "vmaf_model": model.name,
+        # True when the score came from the invented builtin fallback rather
+        # than a real libvmaf model file — consumers must not present it as a
+        # libvmaf-parity VMAF (the CSV sink leaves the cell empty by default).
+        "vmaf_is_fallback": vmaf_is_fallback,
     }

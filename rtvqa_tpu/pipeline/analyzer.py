@@ -70,7 +70,18 @@ def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
                 if qual["n_frames"] > 0:
                     metrics["PSNR"] = qual["psnr"]
                     metrics["SSIM"] = qual["ssim"]
-                    metrics["VMAF"] = qual["vmaf"]
+                    if not qual["vmaf_is_fallback"] or config.allow_builtin_vmaf:
+                        metrics["VMAF"] = qual["vmaf"]
+                    else:
+                        # Artifact-level honesty: a CSV consumer cannot tell a
+                        # fallback score from a libvmaf-parity one, so the
+                        # cell stays empty unless explicitly opted in.
+                        logger.warning(
+                            "VMAF cell left empty: no model file. Set "
+                            "vmaf_model_path (libvmaf JSON) for parity scores "
+                            "or allow_builtin_vmaf=true for the qualitative "
+                            "builtin fallback.",
+                        )
             except Exception as e:  # degrade like the reference's missing logs
                 logger.warning("Quality metrics failed: %s", e)
 

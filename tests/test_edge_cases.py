@@ -60,9 +60,9 @@ def test_full_reference_single_frame(tmp_path):
 
 
 def test_auto_chunk_scaling():
-    assert auto_chunk(1920, 1080) == 32
+    assert auto_chunk(1920, 1080) == 64
     assert auto_chunk(1920, 1080, requested=2) == 2
-    assert auto_chunk(1920, 1080, requested=64) == 32  # capped by budget
-    assert auto_chunk(128, 96) >= 64                   # small frames batch more
-    assert auto_chunk(3840, 2160) == 8
-    assert auto_chunk(1920, 1080, requested=5) == 4    # kept even for B halves
+    assert auto_chunk(1920, 1080, requested=128) == 64  # capped by budget
+    assert auto_chunk(128, 96) >= 64                    # small frames batch more
+    assert auto_chunk(3840, 2160) == 16
+    assert auto_chunk(1920, 1080, requested=5) == 4     # kept even

@@ -104,3 +104,25 @@ def test_decode_threads_deterministic(clip_path):
     np.testing.assert_array_equal(a.y, b.y)
     np.testing.assert_array_equal(a.u, b.u)
     np.testing.assert_allclose(a.timestamps_ms, b.timestamps_ms)
+
+
+def test_encode_deterministic_under_heap_churn(clip_path, tmp_path):
+    """Encodes must be a pure function of (pixels, settings).
+
+    Regression: this image's libx264 mbtree lookahead read heap-dependent
+    state, so the same transcode produced pixel-different bitstreams whenever
+    unrelated allocations ran in between (and across processes). The encoder
+    now pins threads=1 and disables mbtree (docs/PARITY.md divergence).
+    """
+    import jax.numpy as jnp
+
+    outs = []
+    for rep in range(3):
+        out = str(tmp_path / f"det{rep}.mp4")
+        vio.transcode(clip_path, out, crf=30, preset="medium")
+        outs.append(vio.decode_sampled(out, 1).y)
+        # Heap churn between encodes (this used to flip the bitstream).
+        _ = np.asarray(jnp.ones((8, 64, 64)) * (rep + 1))
+        _ = vio.decode_sampled(out, 3)
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[1], outs[2])

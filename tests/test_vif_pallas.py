@@ -43,6 +43,39 @@ def test_vif_features_pallas_all_scales(rng):
         )
 
 
+@pytest.mark.parametrize("h,w", [(56, 70), (53, 71), (40, 64)])
+def test_vif0_kernel_ragged_height(rng, h, w):
+    """H % 16 != 0 (the 1080p case: 1080 % 16 == 8) and odd dims."""
+    from rtvqa_tpu.kernels.vif_pallas import vif_scale0_pallas
+
+    ref, dis = make_pair(rng, b=1, h=h, w=w)
+    vif0, dec_ref, dec_dis = vif_scale0_pallas(ref, dis, interpret=True)
+    expected = vif_features(ref, dis)
+    np.testing.assert_allclose(
+        np.asarray(vif0), np.asarray(expected["vif_scale0"]), rtol=2e-4
+    )
+    taps9 = gaussian_kernel(9, 9 / 5.0)
+    exp_dec = np.asarray(decimate2(filter1d_sep(ref, taps9)))
+    assert dec_ref.shape == exp_dec.shape
+    np.testing.assert_allclose(np.asarray(dec_ref), exp_dec, rtol=1e-4, atol=1e-3)
+    exp_dec_d = np.asarray(decimate2(filter1d_sep(dis, taps9)))
+    np.testing.assert_allclose(np.asarray(dec_dis), exp_dec_d, rtol=1e-4, atol=1e-3)
+
+
+def test_vif_features_pallas_ragged_all_scales(rng):
+    from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+
+    ref, dis = make_pair(rng, b=1, h=56, w=70)
+    got = vif_features_pallas(ref, dis)
+    expected = vif_features(ref, dis)
+    for k in range(4):
+        np.testing.assert_allclose(
+            np.asarray(got[f"vif_scale{k}"]),
+            np.asarray(expected[f"vif_scale{k}"]),
+            rtol=3e-4,
+        )
+
+
 def test_vif_features_pallas_identity(rng):
     from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 

@@ -29,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
         metavar="CRF",
         help="Run a CRF-ladder sweep over these CRF values instead of the single configured CRF.",
     )
+    parser.add_argument(
+        "--trace",
+        type=str,
+        default=None,
+        metavar="DIR",
+        help="Write a jax.profiler device trace (XProf/TensorBoard) of the run to DIR.",
+    )
     args = parser.parse_args(argv)
 
     setup_logging()
@@ -39,15 +46,23 @@ def main(argv: list[str] | None = None) -> int:
 
     enable_persistent_cache()
 
+    from rtvqa_tpu.obs.profiler import StageTimer, device_trace
+
+    timer = StageTimer()
     try:
-        if args.sweep:
-            from rtvqa_tpu.pipeline.sweep import run_sweep
+        with device_trace(args.trace):
+            if args.sweep:
+                from rtvqa_tpu.pipeline.sweep import run_sweep
 
-            run_sweep([args.input_video], config, crf_ladder=args.sweep)
-        else:
-            from rtvqa_tpu.pipeline.analyzer import process_video_and_extract_metrics
+                run_sweep([args.input_video], config, crf_ladder=args.sweep)
+            else:
+                from rtvqa_tpu.pipeline.analyzer import (
+                    process_video_and_extract_metrics,
+                )
 
-            process_video_and_extract_metrics(args.input_video, config)
+                process_video_and_extract_metrics(args.input_video, config, timer=timer)
+        if timer.totals:
+            timer.log_summary()
         logger.info("Processing completed successfully.")
         return 0
     except Exception as e:

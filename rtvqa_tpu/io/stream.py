@@ -116,28 +116,62 @@ def prefetch(iterator: Iterator, depth: int = 1) -> Iterator:
 
     With depth=1 this is classic double buffering: the producer decodes batch
     k+1 while the consumer computes on batch k.
+
+    If the consumer abandons the generator early (``break``, exception, or
+    garbage collection — e.g. the lockstep break in
+    ``full_reference.analyze_full_reference``), the producer is cancelled and
+    the underlying iterator's ``close()`` is called, so decoder contexts are
+    released immediately instead of leaking until process exit.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
+    cancelled = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                # Bounded put so a vanished consumer can't block us forever;
+                # re-check the cancellation flag between attempts.
+                while not cancelled.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if cancelled.is_set():
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                close()
+            while True:  # sentinel must land even if the queue is full
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if cancelled.is_set():
+                        break
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        cancelled.set()
+        # Drain one slot so a producer blocked in q.put can observe the flag.
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)
 
 
 def stream_batches(

@@ -73,8 +73,10 @@ def psnr_frames(
     mse_avg = (sse_y + sse_u + sse_v) / (n_y + 2 * n_c)
 
     def to_psnr(mse):
-        # FFmpeg reports "inf" for zero MSE; callers clamp for CSV.
-        return 10.0 * jnp.log10((255.0 * 255.0) / jnp.maximum(mse, 1e-30))
+        # FFmpeg reports "inf" for zero MSE (identical frames) — reproduced
+        # exactly; finite values are untouched.
+        finite = 10.0 * jnp.log10((255.0 * 255.0) / jnp.maximum(mse, 1e-30))
+        return jnp.where(mse > 0.0, finite, jnp.inf)
 
     return {
         "mse_y": mse_y, "mse_u": mse_u, "mse_v": mse_v, "mse_avg": mse_avg,
@@ -83,10 +85,12 @@ def psnr_frames(
 
 
 def pooled_psnr(mse_avg_frames: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """FFmpeg global average: PSNR of the mean frame MSE."""
+    """FFmpeg global average: PSNR of the mean frame MSE (``inf`` when the
+    streams are identical, as vf_psnr's summary line prints)."""
     validf = valid.astype(jnp.float32)
     mean_mse = jnp.sum(mse_avg_frames * validf) / jnp.maximum(jnp.sum(validf), 1.0)
-    return 10.0 * jnp.log10((255.0 * 255.0) / jnp.maximum(mean_mse, 1e-30))
+    finite = 10.0 * jnp.log10((255.0 * 255.0) / jnp.maximum(mean_mse, 1e-30))
+    return jnp.where(mean_mse > 0.0, finite, jnp.inf)
 
 
 # ---------------------------------------------------------------------------

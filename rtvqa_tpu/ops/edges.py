@@ -58,17 +58,22 @@ def canny_edges(
     gray: jnp.ndarray,
     low: float = 100.0,
     high: float = 200.0,
-    max_hysteresis_iters: int = 64,
+    max_hysteresis_iters: int | None = None,
 ) -> jnp.ndarray:
     """Canny edge map over (..., H, W) -> bool (..., H, W).
 
     Follows cv2.Canny's structure (L1 magnitude, sector-based NMS with
     strict/non-strict neighbor comparisons, 8-connected hysteresis). The
-    hysteresis fixed point is reached via ``lax.while_loop``; propagation is
-    capped at ``max_hysteresis_iters`` dilation rounds (each round extends
-    edge chains by one pixel; 64 covers typical resized-frame chains, and the
-    loop exits early once converged).
+    hysteresis fixed point is reached via ``lax.while_loop``; each dilation
+    round extends edge chains by one pixel and the loop exits early once
+    converged. The safety cap defaults to H*W — a true upper bound (every
+    non-final round marks at least one new pixel), so the fixed point is
+    always reached exactly at any resolution; cost stays data-dependent
+    (geodesic chain length) thanks to the early exit, and the cap is a
+    compile-time constant since shapes are static at trace time.
     """
+    if max_hysteresis_iters is None:
+        max_hysteresis_iters = gray.shape[-2] * gray.shape[-1]
     gx, gy = sobel_gradients(gray)
     mag = jnp.abs(gx) + jnp.abs(gy)
 

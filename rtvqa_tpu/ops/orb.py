@@ -167,6 +167,44 @@ def orb_keypoint_count(
 # --- fixed-K keypoint extraction + BRIEF descriptors -----------------------
 
 
+def harris_response(
+    gray: jnp.ndarray, block_size: int = 7, k: float = 0.04
+) -> jnp.ndarray:
+    """Dense Harris corner response over (..., H, W).
+
+    cv2 ORB ranks keypoints for retention by Harris response over a 7x7
+    block around each corner (``HARRIS_SCORE``, the default), computed from
+    first derivatives: R = det(M) - k*trace(M)^2 with M the block-summed
+    structure tensor. Derivatives here are 3x3 Sobel (cv2's HarrisResponses
+    uses a plain central difference; the ranking they induce agrees on
+    corner-vs-edge ordering — documented approximation, docs/PARITY.md).
+    Evaluated densely as shifted adds: static shapes, one VPU pass.
+    """
+    from rtvqa_tpu.ops.edges import sobel_gradients
+
+    gx, gy = sobel_gradients(gray)
+    ixx, iyy, ixy = gx * gx, gy * gy, gx * gy
+    r = block_size // 2
+
+    def box_sum(x):
+        # Separable block_size x block_size box sum, zero-padded borders.
+        h, w = x.shape[-2], x.shape[-1]
+        pad = [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)]
+        p = jnp.pad(x, pad)
+        rows = sum(p[..., i : i + h, r : r + w] for i in range(block_size))
+        pr = jnp.pad(rows, [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)])
+        return sum(pr[..., :, j : j + w] for j in range(block_size))
+
+    sxx, syy, sxy = box_sum(ixx), box_sum(iyy), box_sum(ixy)
+    # Normalize like cv2 (scale = 1/(4*blockSize*255), applied squared to the
+    # products): keeps responses in a comparable range across block sizes.
+    scale_sq = (1.0 / (4 * block_size * 255.0)) ** 2
+    sxx, syy, sxy = sxx * scale_sq, syy * scale_sq, sxy * scale_sq
+    det = sxx * syy - sxy * sxy
+    trace = sxx + syy
+    return det - k * trace * trace
+
+
 @functools.lru_cache(maxsize=4)
 def _brief_pattern(n_bits: int = 256, patch: int = 24, seed: int = 7) -> np.ndarray:
     """(n_bits, 4) int32 sampling pairs (y1,x1,y2,x2), Gaussian BRIEF style."""
@@ -187,17 +225,26 @@ def orb_features(
 ) -> dict[str, jnp.ndarray]:
     """Fixed-K keypoints + orientations + BRIEF-256 descriptors, (B, H, W) in.
 
-    Returns dict with ``ys, xs (B,K) int32``, ``score (B,K)``, ``valid (B,K)
-    bool``, ``angle (B,K)`` radians, ``desc (B,K,n_bits) bool``. K is static;
-    invalid slots (fewer than K detected corners) are masked.
+    When more than K corners exist, retention follows cv2 ORB's default
+    ``HARRIS_SCORE`` policy: detected FAST corners are ranked by Harris
+    response and the best K are kept (``KeyPointsFilter::retainBest``; the
+    reference buys this behavior at ``complexity_metrics.py:378,385``).
+
+    Returns dict with ``ys, xs (B,K) int32``, ``score (B,K)`` (Harris
+    response), ``fast_score (B,K)``, ``valid (B,K) bool``, ``angle (B,K)``
+    radians, ``desc (B,K,n_bits) bool``. K is static; invalid slots (fewer
+    than K detected corners) are masked.
     """
     b, h, w = gray.shape
     kmap = fast_keypoint_map(gray, fast_threshold, edge_threshold)
-    flat = kmap.reshape(b, h * w)
-    score, idx = jax.lax.top_k(flat, k)
-    valid = score > 0
+    harris = harris_response(gray)
+    rank = jnp.where(kmap > 0, harris, -jnp.inf).reshape(b, h * w)
+    score, idx = jax.lax.top_k(rank, k)
+    valid = jnp.isfinite(score)
+    score = jnp.where(valid, score, 0.0)
     ys = idx // w
     xs = idx % w
+    fast_sc = jnp.take_along_axis(kmap.reshape(b, h * w), idx, axis=1)
 
     g = gray.astype(jnp.float32)
 
@@ -243,6 +290,6 @@ def orb_features(
 
     desc = sample(y1, x1) < sample(y2, x2)
     return {
-        "ys": ys, "xs": xs, "score": score, "valid": valid,
-        "angle": angle, "desc": desc & valid[..., None],
+        "ys": ys, "xs": xs, "score": score, "fast_score": fast_sc,
+        "valid": valid, "angle": angle, "desc": desc & valid[..., None],
     }

@@ -33,23 +33,35 @@ from rtvqa_tpu.config import Config
 from rtvqa_tpu.io import video as vio
 from rtvqa_tpu.metrics.complexity import calculate_average_scene_complexity
 from rtvqa_tpu.obs.logging import get_logger
+from rtvqa_tpu.obs.profiler import StageTimer
 from rtvqa_tpu.pipeline.csv_sink import update_csv
 
 logger = get_logger("rtvqa_tpu.pipeline")
 
 
-def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
-    """Run the full pipeline for one clip; returns the CSV-row metrics dict."""
+def analyze_video(
+    input_video: str, config: Config, timer: StageTimer | None = None
+) -> dict[str, Any]:
+    """Run the full pipeline for one clip; returns the CSV-row metrics dict.
+
+    ``timer`` (optional) accumulates per-stage wall clock + a frames/sec
+    counter (SURVEY.md §5 tracing row); when omitted a local one is created
+    and its summary is emitted to the log at the end.
+    """
     if not os.path.isfile(input_video):
         raise FileNotFoundError(f"The input video file {input_video} does not exist.")
 
+    own_timer = timer is None
+    timer = timer or StageTimer()
     temp_dir = tempfile.mkdtemp(prefix="rtvqa_")
     try:
         encoded_video = os.path.join(temp_dir, "encoded_video.mp4")
         logger.info("Encoding %s at CRF %d (%s)", input_video, config.crf, config.preset)
-        vio.transcode(input_video, encoded_video, crf=config.crf, preset=config.preset)
+        with timer.stage("encode"):
+            vio.transcode(input_video, encoded_video, crf=config.crf, preset=config.preset)
 
-        info = vio.get_video_info(input_video)
+        with timer.stage("probe"):
+            info = vio.get_video_info(input_video)
         metrics: dict[str, Any] = {
             "Bitrate (kbps)": info.bitrate_kbps,
             "Resolution (px)": info.resolution,
@@ -62,11 +74,13 @@ def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
                 logger.info("Computing native PSNR/SSIM/VMAF (full-res, every frame)")
                 from rtvqa_tpu.metrics.full_reference import analyze_full_reference
 
-                qual = analyze_full_reference(
-                    input_video,
-                    encoded_video,
-                    vmaf_model_path=config.vmaf_model_path,
-                )
+                with timer.stage("quality"):
+                    qual = analyze_full_reference(
+                        input_video,
+                        encoded_video,
+                        vmaf_model_path=config.vmaf_model_path,
+                    )
+                timer.add_frames(int(qual.get("n_frames", 0)))
                 if qual["n_frames"] > 0:
                     metrics["PSNR"] = qual["psnr"]
                     metrics["SSIM"] = qual["ssim"]
@@ -95,24 +109,27 @@ def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
                 calculate_average_scene_complexity_streaming,
             )
 
-            comp = calculate_average_scene_complexity_streaming(
-                target,
-                resize_width=config.resize_width,
-                resize_height=config.resize_height,
-                frame_interval=config.frame_interval,
-                smoothing_factor=config.smoothing_alpha,
-                chunk=config.batch_size,
-            )
+            with timer.stage("complexity"):
+                comp = calculate_average_scene_complexity_streaming(
+                    target,
+                    resize_width=config.resize_width,
+                    resize_height=config.resize_height,
+                    frame_interval=config.frame_interval,
+                    smoothing_factor=config.smoothing_alpha,
+                    chunk=config.batch_size,
+                )
         else:
-            clip = vio.decode_sampled(
-                target, frame_interval=config.frame_interval, threads=config.num_workers
-            )
-            comp = calculate_average_scene_complexity(
-                clip,
-                resize_width=config.resize_width,
-                resize_height=config.resize_height,
-                smoothing_factor=config.smoothing_alpha,
-            )
+            with timer.stage("decode"):
+                clip = vio.decode_sampled(
+                    target, frame_interval=config.frame_interval, threads=config.num_workers
+                )
+            with timer.stage("complexity"):
+                comp = calculate_average_scene_complexity(
+                    clip,
+                    resize_width=config.resize_width,
+                    resize_height=config.resize_height,
+                    smoothing_factor=config.smoothing_alpha,
+                )
 
         # Correct label<->value mapping (reference bug SURVEY.md §2.4(1)).
         metrics.update(
@@ -128,13 +145,17 @@ def analyze_video(input_video: str, config: Config) -> dict[str, Any]:
             }
         )
         logger.info("Metrics extracted: %s", metrics)
+        if own_timer:
+            timer.log_summary()
         return metrics
     finally:
         shutil.rmtree(temp_dir, ignore_errors=True)
 
 
-def process_video_and_extract_metrics(input_video: str, config: Config) -> dict[str, Any]:
+def process_video_and_extract_metrics(
+    input_video: str, config: Config, timer: StageTimer | None = None
+) -> dict[str, Any]:
     """analyze + CSV append (the reference L6 entry point's full behavior)."""
-    metrics = analyze_video(input_video, config)
+    metrics = analyze_video(input_video, config, timer=timer)
     update_csv(metrics, csv_file=config.csv_file)
     return metrics

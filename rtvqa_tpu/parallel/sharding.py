@@ -183,8 +183,11 @@ def sharded_complexity_suite(
 # ---------------------------------------------------------------------------
 
 
-def sharded_quality_step(mesh: Mesh):
+def sharded_quality_step(mesh: Mesh, vif_egl=None, adm_egl=None):
     """Build the jitted multi-chip full-reference step for one clip pair.
+
+    ``vif_egl``/``adm_egl``: NEG-mode enhancement-gain limits from the model
+    file's ``feature_opts_dicts`` (None = classic VIF/ADM).
 
     Shards the frame axis over the mesh's "frame" axis (pure per-frame data
     parallelism for PSNR/SSIM/VIF/ADM; VMAF motion needs the previous frame's
@@ -206,8 +209,8 @@ def sharded_quality_step(mesh: Mesh):
         out.update(ssim_frames(ry, ru, rv, dy, du, dv))
         ryf = ry.astype(jnp.float32)
         dyf = dy.astype(jnp.float32)
-        out.update(vif_features(ryf, dyf))
-        out.update(adm_features(ryf, dyf))
+        out.update(vif_features(ryf, dyf, enhn_gain_limit=vif_egl))
+        out.update(adm_features(ryf, dyf, enhn_gain_limit=adm_egl))
 
         blur = filter1d_sep(ryf, FILTER_5)
         n_frame = jax.lax.axis_size("frame")

@@ -70,7 +70,14 @@ def analyze_full_reference_sharded(
             a = np.concatenate([a, np.repeat(a[-1:], n_pad - n, 0)], 0)
         return a
 
-    fn = sharded_quality_step(mesh)
+    from rtvqa_tpu.vmaf.model import load_model
+
+    model = load_model(vmaf_model_path) if vmaf_model_path else None
+    fn = sharded_quality_step(
+        mesh,
+        vif_egl=model.vif_enhn_gain_limit if model else None,
+        adm_egl=model.adm_enhn_gain_limit if model else None,
+    )
     packed = np.asarray(
         fn(prep(ref.y), prep(ref.u), prep(ref.v),
            prep(dis.y), prep(dis.u), prep(dis.v))
@@ -78,4 +85,4 @@ def analyze_full_reference_sharded(
     s = {k: packed[i, :n] for i, k in enumerate(CHUNK_KEYS)}
     s["motion_sad"] = s["motion_sad"].copy()
     s["motion_sad"][0] = 0.0  # global first frame has no predecessor
-    return pool_full_reference(s, n, vmaf_model_path)
+    return pool_full_reference(s, n, vmaf_model_path, model=model)

@@ -91,7 +91,7 @@ def _dwt_1level(x: jnp.ndarray):
     return a, h, v, d
 
 
-def _decouple(oh, ov, od, th, tv, td):
+def _decouple(oh, ov, od, th, tv, td, enhn_gain_limit=None):
     eps = 1e-30
     ot_dp = oh * th + ov * tv
     o_mag_sq = oh * oh + ov * ov
@@ -99,9 +99,17 @@ def _decouple(oh, ov, od, th, tv, td):
     angle_ok = (ot_dp >= 0.0) & (ot_dp * ot_dp >= _COS_1DEG_SQ * o_mag_sq * t_mag_sq)
 
     def restore(o, t):
-        k = jnp.clip(t / (o + jnp.where(o >= 0, eps, -eps)), 0.0, 1.0)
+        ratio = t / (o + jnp.where(o >= 0, eps, -eps))
+        k = jnp.clip(ratio, 0.0, 1.0)
         rst = k * o
-        return jnp.where(angle_ok, t, rst)
+        if enhn_gain_limit is None:
+            # Classic DLM: additive-free (within 1°) distortion restores fully.
+            return jnp.where(angle_ok, t, rst)
+        # NEG mode (libvmaf adm_enhn_gain_limit): even in the angle-ok branch
+        # the restoration gain is capped, so enhancement (|t| > |o|) cannot
+        # count as restored detail beyond the limit.
+        k_neg = jnp.clip(ratio, 0.0, enhn_gain_limit)
+        return jnp.where(angle_ok, k_neg * o, rst)
 
     rh, rv, rd = restore(oh, th), restore(ov, tv), restore(od, td)
     return (rh, rv, rd), (th - rh, tv - rv, td - rd)
@@ -130,8 +138,17 @@ def _center_crop_slices(h: int, w: int):
     return slice(top, bottom), slice(left, right)
 
 
-def adm_features(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """Per-frame adm2 over (..., H, W) float luma. Returns {'adm2': (...)}."""
+def adm_features(
+    ref_y: jnp.ndarray,
+    dis_y: jnp.ndarray,
+    enhn_gain_limit: float | None = None,
+) -> dict[str, jnp.ndarray]:
+    """Per-frame adm2 over (..., H, W) float luma. Returns {'adm2': (...)}.
+
+    ``enhn_gain_limit`` enables libvmaf's NEG mode (``adm_enhn_gain_limit``):
+    the decoupling gain is capped even where the 1° angle test passes, so
+    enhancement cannot count as restored detail. None = classic DLM.
+    """
     o = ref_y.astype(jnp.float32)
     t = dis_y.astype(jnp.float32)
     num_total = 0.0
@@ -139,7 +156,9 @@ def adm_features(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.ndarra
     for scale in range(4):
         o, oh, ov, od = _dwt_1level(o)
         t, th, tv, td = _dwt_1level(t)
-        (rh, rv, rd), (ah, av, ad) = _decouple(oh, ov, od, th, tv, td)
+        (rh, rv, rd), (ah, av, ad) = _decouple(
+            oh, ov, od, th, tv, td, enhn_gain_limit
+        )
         fh, fv, fd = csf_rfactors(scale)
         thr = _mask_threshold(ah * fh, av * fv, ad * fd)
         hh, ww = oh.shape[-2], oh.shape[-1]

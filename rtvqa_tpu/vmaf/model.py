@@ -75,6 +75,18 @@ class VmafModel:
     score_clip: Optional[tuple[float, float]] = (0.0, 100.0)
     score_transform: Optional[tuple[float, ...]] = None  # polynomial coeffs (p0, p1, p2, ...)
     name: str = "unnamed"
+    # Per-feature extractor options (libvmaf ``feature_opts_dicts``, merged):
+    # NEG-mode models carry {'vif_enhn_gain_limit': x, 'adm_enhn_gain_limit': y}
+    # here; the full-reference engine threads them into the extractors.
+    feature_opts: tuple[tuple[str, float], ...] = ()
+
+    @property
+    def vif_enhn_gain_limit(self) -> Optional[float]:
+        return dict(self.feature_opts).get("vif_enhn_gain_limit")
+
+    @property
+    def adm_enhn_gain_limit(self) -> Optional[float]:
+        return dict(self.feature_opts).get("adm_enhn_gain_limit")
 
     def predict(self, features: dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Per-frame scores from per-frame feature arrays (each (N,))."""
@@ -185,6 +197,14 @@ def load_model(path: str) -> VmafModel:
             i += 1
         transform = tuple(coeffs) if coeffs else None
 
+    # NEG variants (e.g. vmaf_v0.6.1neg.json) carry per-feature extractor
+    # options in ``feature_opts_dicts`` — a list parallel to feature_names.
+    opts: dict[str, float] = {}
+    for d in md.get("feature_opts_dicts") or []:
+        if isinstance(d, dict):
+            for k, v in d.items():
+                opts[str(k)] = float(v)
+
     model_blob = md.get("model")
     if isinstance(model_blob, str):
         svm = _parse_libsvm_text(model_blob)
@@ -202,6 +222,7 @@ def load_model(path: str) -> VmafModel:
             score_clip=clip,
             score_transform=transform,
             name=str(raw.get("version", path)),
+            feature_opts=tuple(sorted(opts.items())),
         )
     raise ValueError(f"unrecognized model format in {path}")
 

@@ -28,7 +28,7 @@ _SIGMA_NSQ = 2.0
 _EPS = 1e-10
 
 
-def _vif_scale_stats(ref, dis, taps):
+def _vif_scale_stats(ref, dis, taps, enhn_gain_limit=None):
     mu1 = filter1d_sep(ref, taps)
     mu2 = filter1d_sep(dis, taps)
     mu1_sq = mu1 * mu1
@@ -59,13 +59,26 @@ def _vif_scale_stats(ref, dis, taps):
     g = jnp.where(neg_g, 0.0, g)
     sv_sq = jnp.maximum(sv_sq, _EPS)
 
+    if enhn_gain_limit is not None:
+        # NEG mode (e.g. vmaf_v0.6.1neg): cap the regression gain so contrast
+        # enhancement cannot raise the score (libvmaf vif_enhn_gain_limit).
+        g = jnp.minimum(g, enhn_gain_limit)
+
     num = jnp.log2(1.0 + g * g * sigma1_sq / (sv_sq + _SIGMA_NSQ))
     den = jnp.log2(1.0 + sigma1_sq / _SIGMA_NSQ)
     return jnp.sum(num, axis=(-2, -1)), jnp.sum(den, axis=(-2, -1))
 
 
-def vif_features(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.ndarray]:
+def vif_features(
+    ref_y: jnp.ndarray,
+    dis_y: jnp.ndarray,
+    enhn_gain_limit: float | None = None,
+) -> dict[str, jnp.ndarray]:
     """Per-frame VIF at 4 scales over (..., H, W) float luma in [0, 255].
+
+    ``enhn_gain_limit`` enables libvmaf's NEG mode (``vif_enhn_gain_limit``,
+    carried by e.g. vmaf_v0.6.1neg.json): the per-window regression gain is
+    capped so enhancement cannot inflate fidelity. None = classic VIF.
 
     Returns {'vif_scale0'..'vif_scale3'} arrays of shape (...,).
     """
@@ -78,7 +91,7 @@ def vif_features(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.ndarra
         if scale > 0:
             ref = decimate2(filter1d_sep(ref, taps))
             dis = decimate2(filter1d_sep(dis, taps))
-        num, den = _vif_scale_stats(ref, dis, taps)
+        num, den = _vif_scale_stats(ref, dis, taps, enhn_gain_limit)
         out[f"vif_scale{scale}"] = num / jnp.maximum(den, _EPS)
     return out
 

@@ -223,6 +223,90 @@ def test_adm_matches_numpy_oracle():
     assert got == pytest.approx(expected, rel=5e-4)
 
 
+def _neg_model_json(tmp_path):
+    """Minimal real-format model JSON with NEG feature options."""
+    sv = np.array([[0.2, 0.1, 0.5, 0.6, 0.7, 0.8]])
+    blob = "\n".join(
+        ["svm_type nu_svr", "kernel_type rbf", "gamma 0.04", "total_sv 1",
+         "rho -0.3", "SV",
+         "1.0 " + " ".join(f"{i+1}:{v}" for i, v in enumerate(sv[0]))]
+    )
+    model_json = {
+        "version": "test_neg_0.1",
+        "model_dict": {
+            "model_type": "LIBSVMNUSVR",
+            "feature_names": [
+                "VMAF_feature_adm2_score",
+                "VMAF_feature_motion2_score",
+                "VMAF_feature_vif_scale0_score",
+                "VMAF_feature_vif_scale1_score",
+                "VMAF_feature_vif_scale2_score",
+                "VMAF_feature_vif_scale3_score",
+            ],
+            "feature_opts_dicts": [
+                {"adm_enhn_gain_limit": 1.0},
+                {},
+                {"vif_enhn_gain_limit": 1.0},
+                {"vif_enhn_gain_limit": 1.0},
+                {"vif_enhn_gain_limit": 1.0},
+                {"vif_enhn_gain_limit": 1.0},
+            ],
+            "slopes": [0.01, 1, 0.05, 1, 1, 1, 1],
+            "intercepts": [0.0, 0, 0, 0, 0, 0, 0],
+            "score_clip": [0.0, 100.0],
+            "model": blob,
+        },
+    }
+    p = tmp_path / "neg.json"
+    p.write_text(json.dumps(model_json))
+    return str(p)
+
+
+def test_load_neg_model_feature_opts(tmp_path):
+    m = load_model(_neg_model_json(tmp_path))
+    assert m.vif_enhn_gain_limit == 1.0
+    assert m.adm_enhn_gain_limit == 1.0
+    # A classic model has no limits.
+    assert builtin_model().vif_enhn_gain_limit is None
+
+
+def test_vif_enhn_gain_limit_caps_enhancement():
+    """NEG mode: contrast enhancement must not raise VIF (gain capped at 1);
+    identity stays exactly 1.0; plain distortion is unaffected."""
+    ref = natural_image()
+    enhanced = np.clip((ref - ref.mean()) * 1.4 + ref.mean(), 0, 255).astype(np.float32)
+
+    classic = vif_features(ref[None], enhanced[None])
+    neg = vif_features(ref[None], enhanced[None], enhn_gain_limit=1.0)
+    for k in range(4):
+        c = float(np.asarray(classic[f"vif_scale{k}"])[0])
+        n = float(np.asarray(neg[f"vif_scale{k}"])[0])
+        assert n <= c + 1e-6
+    assert float(np.asarray(neg["vif_scale0"])[0]) < float(
+        np.asarray(classic["vif_scale0"])[0]
+    )
+
+    ident = vif_features(ref[None], ref[None], enhn_gain_limit=1.0)
+    for k in range(4):
+        assert float(np.asarray(ident[f"vif_scale{k}"])[0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_adm_enhn_gain_limit_caps_enhancement():
+    ref = natural_image(96, 128)
+    enhanced = np.clip((ref - ref.mean()) * 1.4 + ref.mean(), 0, 255).astype(np.float32)
+    classic = float(np.asarray(adm_features(ref[None], enhanced[None])["adm2"])[0])
+    neg = float(
+        np.asarray(
+            adm_features(ref[None], enhanced[None], enhn_gain_limit=1.0)["adm2"]
+        )[0]
+    )
+    assert neg < classic + 1e-6
+    ident = float(
+        np.asarray(adm_features(ref[None], ref[None], enhn_gain_limit=1.0)["adm2"])[0]
+    )
+    assert ident == pytest.approx(1.0, abs=1e-4)
+
+
 def test_model_score_transform(tmp_path):
     # Polynomial score transform (as used by e.g. vmaf_v0.6.1neg variants).
     m = builtin_model()

@@ -164,6 +164,97 @@ def cpu_baseline_secs() -> float:
     return (time.perf_counter() - t0) / N_CPU
 
 
+def make_video_frames(n, variant=0, h=H, w=W):
+    """Camera-plausible 1080p content: smooth structured luma with global
+    motion and a few moving objects — NOT per-pixel noise. Dense noise makes
+    x264 emit ~100 Mbps bitstreams whose 1-core decode crawls at ~2 fps and
+    says nothing about real footage (CRF-18 1080p is typically 5-15 Mbps)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = np.empty((n, h, w), np.uint8)
+    for i in range(n):
+        t = i + 31.0 * variant
+        img = (
+            120.0
+            + 55.0 * np.sin(2 * np.pi * (xx + 2.5 * t) / 240.0)
+            + 35.0 * np.cos(2 * np.pi * (yy + 1.5 * t) / 180.0)
+        )
+        # Two moving high-contrast blocks (motion + edges for the metrics).
+        bx = int(300 + 6 * t) % (w - 200)
+        by = int(200 + 4 * t) % (h - 200)
+        img[by : by + 160, bx : bx + 160] = 230.0
+        img[(h - by - 160) : (h - by), (w - bx - 160) : (w - bx)] = 25.0
+        frames[i] = np.clip(img, 0, 255).astype(np.uint8)
+    u = np.full((n, h // 2, w // 2), 120, np.uint8)
+    v = np.full((n, h // 2, w // 2), 132, np.uint8)
+    return frames, u, v
+
+
+def _e2e_clip_cache(variant: int, n: int = 128) -> tuple[str, str]:
+    """Build (once, cached on disk) a real 1080p H.264 clip pair for the
+    end-to-end benchmark: ref encoded from synthetic YUV, dis = CRF-28
+    re-encode. Distinct content per variant (the tunnel memoizes identical
+    executions)."""
+    import hashlib
+
+    from rtvqa_tpu.io import video as vio
+
+    cache = os.path.expanduser("~/.cache/rtvqa_bench")
+    os.makedirs(cache, exist_ok=True)
+    tag = hashlib.md5(f"e2e-v3-{variant}-{n}-{H}x{W}".encode()).hexdigest()[:10]
+    ref = os.path.join(cache, f"ref_{tag}.mp4")
+    dis = os.path.join(cache, f"dis_{tag}.mp4")
+    if not (os.path.exists(ref) and os.path.exists(dis)):
+        y, u, v = make_video_frames(n, variant)
+        from fractions import Fraction
+
+        vio.encode_raw_yuv420(ref, y, u, v, fps=Fraction(30, 1), crf=18, preset="veryfast")
+        vio.transcode(ref, dis, crf=28, preset="veryfast")
+    return ref, dis
+
+
+def phase_e2e() -> float:
+    """Seconds per frame, END-TO-END: native 1-core decode of both streams +
+    full quality suite (every frame) + complexity suite (frame_interval=10)
+    through the combined single-decode-pass engine — the honest whole-pipeline
+    number (VERDICT r1: the headline bench excludes IO)."""
+    from rtvqa_tpu.metrics.full_reference import analyze_combined
+    from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    def run(variant):
+        ref, dis = _e2e_clip_cache(variant)
+        t0 = time.perf_counter()
+        qual, _comp = analyze_combined(
+            ref, dis, frame_interval=10, resize_width=64, resize_height=64
+        )
+        dt = time.perf_counter() - t0
+        return dt, int(qual["n_frames"])
+
+    run(0)  # warmup/compile on variant 0
+    total_dt, total_n = 0.0, 0
+    for variant in range(1, REPS + 1):
+        dt, n = run(variant)
+        total_dt += dt
+        total_n += n
+    # Decode-only floor (both streams, no device work) for the split report.
+    from rtvqa_tpu.io.stream import VideoStream
+
+    t0 = time.perf_counter()
+    for path in _e2e_clip_cache(1):
+        vs = VideoStream(path, 1, 64)
+        for _ in vs:
+            pass
+    decode_dt = time.perf_counter() - t0
+    # stdout so the parent process (which captures the subprocess) can relay.
+    print(
+        f"[bench] e2e: {total_n} frames in {total_dt:.2f}s "
+        f"({total_n / total_dt:.1f} f/s); decode-only floor for one rep: "
+        f"{decode_dt:.2f}s ({(total_n / REPS) / decode_dt:.1f} f/s)"
+    )
+    return total_dt / total_n
+
+
 def _run_phase_subprocess(phase: str, attempts: int = 3) -> float:
     """Run one measurement phase in a fresh process (worker crashes recover)."""
     for attempt in range(attempts):
@@ -172,6 +263,9 @@ def _run_phase_subprocess(phase: str, attempts: int = 3) -> float:
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        for line in proc.stdout.strip().splitlines():
+            if line.startswith("[bench] "):
+                sys.stderr.write(line + "\n")
         for line in reversed(proc.stdout.strip().splitlines()):
             if line.startswith("PHASE_SECONDS "):
                 return float(line.split()[1])
@@ -183,7 +277,12 @@ def _run_phase_subprocess(phase: str, attempts: int = 3) -> float:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--phase", choices=["complexity", "quality"], default=None)
+    parser.add_argument("--phase", choices=["complexity", "quality", "e2e"], default=None)
+    parser.add_argument(
+        "--e2e", action="store_true",
+        help="Report the decode-included end-to-end fps instead of the "
+        "device-program headline (runs in a subprocess with retries).",
+    )
     args = parser.parse_args()
 
     if args.phase == "complexity":
@@ -191,6 +290,23 @@ def main():
         return 0
     if args.phase == "quality":
         print(f"PHASE_SECONDS {phase_quality()}")
+        return 0
+    if args.phase == "e2e":
+        print(f"PHASE_SECONDS {phase_e2e()}")
+        return 0
+
+    if args.e2e:
+        spf = _run_phase_subprocess("e2e")
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_e2e_decode_included_frames_per_sec_per_chip",
+                    "value": round(1.0 / spf, 3),
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": round((1.0 / spf) / (1.0 / cpu_baseline_secs()), 3),
+                }
+            )
+        )
         return 0
 
     comp_dt = _run_phase_subprocess("complexity")

@@ -179,3 +179,48 @@ def stream_batches(
 ) -> Iterator[FrameBatch]:
     """Prefetched sampled-frame batches of one clip."""
     return prefetch(VideoStream(path, frame_interval, batch), depth=prefetch_depth)
+
+
+@dataclasses.dataclass
+class StagedFrameBatch:
+    """A decoded batch plus (for full chunks) its planes staged in HBM.
+
+    Passing fresh numpy arrays to a jitted program makes XLA's implicit
+    host→device transfer the bottleneck on remote-execution tunnels (~30x
+    slower than an explicit ``jax.device_put``, measured), and each program
+    re-uploads shared operands. Staging explicitly in the prefetch worker
+    thread overlaps the transfer with device compute and uploads each plane
+    exactly once per chunk regardless of how many programs consume it.
+
+    ``y/u/v`` are committed device arrays for full ``chunk``-sized batches and
+    ``None`` for ragged tails (the consumer host-pads those — once per clip).
+    ``host`` always carries the decoded numpy planes (complexity sampling and
+    ragged handling read them).
+    """
+
+    host: FrameBatch
+    y: object = None
+    u: object = None
+    v: object = None
+
+
+def stage_to_device(iterator: Iterator[FrameBatch], chunk: int) -> Iterator[StagedFrameBatch]:
+    """Wrap a FrameBatch iterator, staging full chunks into device memory.
+
+    Meant to run inside ``prefetch`` so the transfer happens on the producer
+    thread: ``prefetch(stage_to_device(VideoStream(...), chunk))``.
+    """
+    import jax
+
+    try:
+        for fb in iterator:
+            if fb.y.shape[0] == chunk:
+                yield StagedFrameBatch(
+                    fb, jax.device_put(fb.y), jax.device_put(fb.u), jax.device_put(fb.v)
+                )
+            else:
+                yield StagedFrameBatch(fb)
+    finally:
+        close = getattr(iterator, "close", None)
+        if close is not None:
+            close()

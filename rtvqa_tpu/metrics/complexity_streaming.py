@@ -39,9 +39,16 @@ VALUE_KEYS = ("motion", "dct", "histogram", "edge", "orb", "color", "temporal_dc
     static_argnames=("resize_h", "resize_w", "block", "radius", "edge_low", "edge_high"),
 )
 def _chunk_values(
-    y, u, v, prev_y, prev_u, prev_v, *,
+    y, u, v, tail_y, tail_u, tail_v, *,
     resize_h, resize_w, block=16, radius=8, edge_low=100.0, edge_high=200.0,
 ):
+    """Per-frame complexity values for one chunk; the previous-frame operand
+    is built ON DEVICE from the carried 1-frame tail (uploading a host-built
+    prev array would double the chunk's host→device bytes — the dominant cost
+    on remote-execution tunnels)."""
+    prev_y = jnp.concatenate([tail_y[None], y[:-1]], axis=0)
+    prev_u = jnp.concatenate([tail_u[None], u[:-1]], axis=0)
+    prev_v = jnp.concatenate([tail_v[None], v[:-1]], axis=0)
     vals = _per_frame_values(
         y[None], u[None], v[None], prev_y[None], prev_u[None], prev_v[None],
         resize_h=resize_h, resize_w=resize_w, block=block, radius=radius,
@@ -68,6 +75,127 @@ def _ewm_mean_host(series: np.ndarray, alpha: float) -> float:
     return float(np.mean(s / c))
 
 
+class ComplexityAccumulator:
+    """Incremental streaming complexity: feed sampled-frame batches, get the
+    reference 8-tuple at the end.
+
+    Extracted from the streaming driver so other single-decode-pass engines
+    (the combined quality+complexity engine in ``metrics.full_reference``) can
+    tap sampled frames out of an existing decode loop instead of paying a
+    second decode of the same stream (the reference decodes three times —
+    SURVEY.md §2.4(3); this brings the whole pipeline to the two-pass minimum:
+    each of ref/dis decoded exactly once).
+
+    Chunking, the 1-frame temporal carry, ragged-tail padding and the EWM
+    pooling are byte-identical to the standalone streaming driver (equivalence
+    is tested).
+    """
+
+    def __init__(
+        self,
+        resize_width: int,
+        resize_height: int,
+        smoothing_factor: float = 0.8,
+        chunk: int = 32,
+        block: int = 16,
+        radius: int = 8,
+    ):
+        self.resize_width = resize_width
+        self.resize_height = resize_height
+        self.alpha = float(smoothing_factor)
+        self.chunk = chunk
+        self.block = block
+        self.radius = radius
+        self.values: dict[str, list[np.ndarray]] = {k: [] for k in VALUE_KEYS}
+        self.timestamps: list[np.ndarray] = []
+        self.n_total = 0
+        self._prev_tail: Optional[tuple] = None
+        self._buf: list[tuple] = []  # pending (y, u, v) batches
+        self._buf_ts: list[np.ndarray] = []
+        self._buf_n = 0
+
+    def add(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, ts: np.ndarray) -> None:
+        """Feed a batch of *sampled* frames ((n,H,W), (n,h,w), (n,h,w), (n,))."""
+        if y.shape[0] == 0:
+            return
+        self._buf.append((y, u, v))
+        self._buf_ts.append(np.asarray(ts, np.float64))
+        self._buf_n += y.shape[0]
+        while self._buf_n >= self.chunk:
+            self._drain(self.chunk)
+
+    def _drain(self, n: int) -> None:
+        ys = np.concatenate([b[0] for b in self._buf])
+        us = np.concatenate([b[1] for b in self._buf])
+        vs = np.concatenate([b[2] for b in self._buf])
+        ts = np.concatenate(self._buf_ts)
+        take_y, take_u, take_v, take_ts = ys[:n], us[:n], vs[:n], ts[:n]
+        rest = (ys[n:], us[n:], vs[n:])
+        self._buf = [rest] if rest[0].shape[0] else []
+        self._buf_ts = [ts[n:]] if ts[n:].size else []
+        self._buf_n -= n
+        self._flush_chunk(take_y, take_u, take_v, take_ts)
+
+    def _flush_chunk(self, y, u, v, ts) -> None:
+        import jax
+
+        n = y.shape[0]
+        if self._prev_tail is None:
+            # Global slot 0 has no predecessor; feed zeros — its value is
+            # dropped by the series re-indexing in finalize anyway.
+            tail = (np.zeros_like(y[:1])[0], np.zeros_like(u[:1])[0],
+                    np.zeros_like(v[:1])[0])
+        else:
+            tail = self._prev_tail
+
+        # Pad the ragged tail chunk to the static chunk size.
+        pad = self.chunk - n
+        if pad:
+            def p(a):
+                return np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+            yp, up, vp = p(y), p(u), p(v)
+        else:
+            yp, up, vp = y, u, v
+
+        # Explicit staging: jit's implicit numpy upload is ~30x slower through
+        # the tunnel. The previous-frame operand is built on device inside
+        # _chunk_values from the carried device tail (no double upload).
+        dy, du, dv = jax.device_put(yp), jax.device_put(up), jax.device_put(vp)
+        packed = np.asarray(
+            _chunk_values(
+                dy, du, dv, *(jax.device_put(t) for t in tail),
+                resize_h=self.resize_height, resize_w=self.resize_width,
+                block=self.block, radius=self.radius,
+            )
+        )  # one fetch per chunk
+        # Carry the last VALID frame as the next chunk's tail, on device
+        # (slicing the staged array costs no host round trip).
+        self._prev_tail = (dy[n - 1], du[n - 1], dv[n - 1])
+        for row, k in enumerate(VALUE_KEYS):
+            self.values[k].append(packed[row, :n])
+        self.timestamps.append(ts)
+        self.n_total += n
+
+    def finalize(self) -> ComplexityResult:
+        if self._buf_n:
+            self._drain(self._buf_n)
+        if self.n_total < 2:
+            return ComplexityResult(**{k: 0.0 for k in METRIC_ORDER})
+
+        series = {k: np.concatenate(v) for k, v in self.values.items()}
+        ts = np.concatenate(self.timestamps)
+        a = self.alpha
+
+        out = {}
+        for k in ("motion", "dct", "histogram", "edge", "orb", "color"):
+            out[k] = _ewm_mean_host(series[k][1:], a)        # slots g=1..N-1
+        out["temporal_dct"] = _ewm_mean_host(series["temporal_dct"][2:], a)
+        dt = np.diff(ts) / 1000.0
+        fps = np.where(dt > 0, 1.0 / np.maximum(dt, 1e-9), 0.0)
+        out["framerate"] = _ewm_mean_host(fps, a)
+        return ComplexityResult(**out)
+
+
 def calculate_average_scene_complexity_streaming(
     video_path: str,
     resize_width: int,
@@ -79,61 +207,10 @@ def calculate_average_scene_complexity_streaming(
     radius: int = 8,
 ) -> ComplexityResult:
     """Streaming equivalent of `calculate_average_scene_complexity`."""
-    stream = VideoStream(video_path, frame_interval, chunk)
-    it = prefetch(stream, depth=1)
-
-    values = {k: [] for k in VALUE_KEYS}
-    timestamps: list[np.ndarray] = []
-    prev_tail: Optional[tuple] = None  # last (y, u, v) frame of previous chunk
-    n_total = 0
-
+    acc = ComplexityAccumulator(
+        resize_width, resize_height, smoothing_factor, chunk, block, radius
+    )
+    it = prefetch(VideoStream(video_path, frame_interval, chunk), depth=1)
     for fb in it:
-        n = fb.y.shape[0]
-        if prev_tail is None:
-            # Global slot 0 has no predecessor; feed zeros — its value is
-            # dropped by the series re-indexing below anyway.
-            py = np.concatenate([np.zeros_like(fb.y[:1]), fb.y[:-1]], 0)
-            pu = np.concatenate([np.zeros_like(fb.u[:1]), fb.u[:-1]], 0)
-            pv = np.concatenate([np.zeros_like(fb.v[:1]), fb.v[:-1]], 0)
-        else:
-            py = np.concatenate([prev_tail[0][None], fb.y[:-1]], 0)
-            pu = np.concatenate([prev_tail[1][None], fb.u[:-1]], 0)
-            pv = np.concatenate([prev_tail[2][None], fb.v[:-1]], 0)
-        prev_tail = (fb.y[-1], fb.u[-1], fb.v[-1])
-
-        # Pad the ragged tail chunk to the static chunk size.
-        pad = chunk - n
-        if pad:
-            def p(a):
-                return np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
-            fb_y, fb_u, fb_v, py, pu, pv = p(fb.y), p(fb.u), p(fb.v), p(py), p(pu), p(pv)
-        else:
-            fb_y, fb_u, fb_v = fb.y, fb.u, fb.v
-
-        packed = np.asarray(
-            _chunk_values(
-                fb_y, fb_u, fb_v, py, pu, pv,
-                resize_h=resize_height, resize_w=resize_width,
-                block=block, radius=radius,
-            )
-        )  # one fetch per chunk
-        for row, k in enumerate(VALUE_KEYS):
-            values[k].append(packed[row, :n])
-        timestamps.append(fb.timestamps_ms)
-        n_total += n
-
-    if n_total < 2:
-        return ComplexityResult(**{k: 0.0 for k in METRIC_ORDER})
-
-    series = {k: np.concatenate(v) for k, v in values.items()}
-    ts = np.concatenate(timestamps)
-    a = float(smoothing_factor)
-
-    out = {}
-    for k in ("motion", "dct", "histogram", "edge", "orb", "color"):
-        out[k] = _ewm_mean_host(series[k][1:], a)        # slots g=1..N-1
-    out["temporal_dct"] = _ewm_mean_host(series["temporal_dct"][2:], a)
-    dt = np.diff(ts) / 1000.0
-    fps = np.where(dt > 0, 1.0 / np.maximum(dt, 1e-9), 0.0)
-    out["framerate"] = _ewm_mean_host(fps, a)
-    return ComplexityResult(**out)
+        acc.add(fb.y, fb.u, fb.v, fb.timestamps_ms)
+    return acc.finalize()

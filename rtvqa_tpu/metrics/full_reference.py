@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rtvqa_tpu.io.stream import VideoStream, prefetch
+from rtvqa_tpu.io.stream import VideoStream, prefetch, stage_to_device
 from rtvqa_tpu.metrics.quality import psnr_frames, pooled_psnr, ssim_frames
 from rtvqa_tpu.obs.logging import get_logger
 from rtvqa_tpu.vmaf.adm import adm_features
@@ -88,18 +88,25 @@ def _program_b(ry, dy, vif_egl=None, adm_egl=None):
 
     ``vif_egl``/``adm_egl`` are the NEG-mode enhancement-gain limits carried
     by neg model files (``feature_opts_dicts``); with a VIF limit set the XLA
-    VIF path is used (the Pallas kernel implements classic VIF only).
+    VIF path is used (the Pallas VIF kernel implements classic VIF only; the
+    Pallas ADM kernel supports the gain cap natively).
     """
     ryf = ry.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     out = {}
-    if jax.default_backend() != "cpu" and vif_egl is None:
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu and vif_egl is None:
         from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 
         out.update(vif_features_pallas(ryf, dyf))
     else:
         out.update(vif_features(ryf, dyf, enhn_gain_limit=vif_egl))
-    out.update(adm_features(ryf, dyf, enhn_gain_limit=adm_egl))
+    if on_tpu:
+        from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+
+        out.update(adm_features_pallas(ryf, dyf, enhn_gain_limit=adm_egl))
+    else:
+        out.update(adm_features(ryf, dyf, enhn_gain_limit=adm_egl))
     return jnp.stack([out[k].astype(jnp.float32) for k in B_KEYS])
 
 
@@ -118,6 +125,83 @@ def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
     return max(2, (chunk // 2) * 2)
 
 
+def _run_quality_chunks(
+    ref_path: str,
+    dis_path: str,
+    chunk: int,
+    vif_egl,
+    adm_egl,
+    tap=None,
+) -> tuple[dict, int]:
+    """The shared streaming loop: decode both streams once in lockstep,
+    stage full chunks into HBM from the prefetch threads (explicit
+    ``device_put`` — jit's implicit numpy upload is ~30x slower through the
+    tunnel and re-uploads shared operands per program), run programs A and B
+    per chunk, return (per-frame series, n_frames).
+
+    ``tap(db_host_batch, n, global_offset)`` — optional callback fired per
+    chunk with the decoded host batches (the combined engine's complexity
+    sampling hook).
+    """
+    ref_it = prefetch(stage_to_device(VideoStream(ref_path, 1, chunk), chunk), depth=1)
+    dis_it = prefetch(stage_to_device(VideoStream(dis_path, 1, chunk), chunk), depth=1)
+
+    series: dict[str, list[np.ndarray]] = {}
+    carry_blur = None
+    first = True
+    n_frames = 0
+
+    while True:
+        rb = next(ref_it, None)
+        db = next(dis_it, None)
+        if rb is None or db is None:
+            break
+        rhost, dhost = rb.host, db.host
+        n = min(rhost.y.shape[0], dhost.y.shape[0])
+        if n == 0:
+            break
+        pad = chunk - n
+
+        if pad == 0:
+            # Full lockstep chunk: planes already staged in HBM.
+            ry, ru, rv = rb.y, rb.u, rb.v
+            dy, du, dv = db.y, db.u, db.v
+        else:
+            def prep(a, n=n, pad=pad):
+                a = a[:n]
+                return np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+
+            ry, ru, rv = prep(rhost.y), prep(rhost.u), prep(rhost.v)
+            dy, du, dv = prep(dhost.y), prep(dhost.u), prep(dhost.v)
+
+        if carry_blur is None:
+            carry_blur = np.zeros(rhost.y.shape[1:], np.float32)
+        packed_a, carry_blur = _program_a(
+            ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
+        )
+        # Materialize A BEFORE dispatching B: both programs run near the
+        # compile-time HBM ceiling, and concurrent residency of two big
+        # programs can crash the TPU worker (CLAUDE.md). One fetch per call.
+        packed_a = np.asarray(packed_a)
+        packed_b = np.asarray(_program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl))
+
+        if tap is not None:
+            tap(rhost, dhost, n, n_frames)
+
+        for row, k in enumerate(A_KEYS):
+            series.setdefault(k, []).append(packed_a[row, :n])
+        for row, k in enumerate(B_KEYS):
+            series.setdefault(k, []).append(packed_b[row, :n])
+        n_frames += n
+        first = False
+        if rhost.y.shape[0] != dhost.y.shape[0]:
+            break  # one stream ended mid-batch: stop at the common prefix
+
+    ref_it.close()
+    dis_it.close()
+    return {k: np.concatenate(v) for k, v in series.items()}, n_frames
+
+
 def analyze_full_reference(
     ref_path: str,
     dis_path: str,
@@ -131,58 +215,79 @@ def analyze_full_reference(
     # Load the model up-front: NEG variants carry extractor options
     # (enhancement-gain limits) that change the feature programs themselves.
     model = load_model(vmaf_model_path) if vmaf_model_path else None
-    vif_egl = model.vif_enhn_gain_limit if model else None
-    adm_egl = model.adm_enhn_gain_limit if model else None
-    ref_it = prefetch(VideoStream(ref_path, 1, chunk), depth=1)
-    dis_it = prefetch(VideoStream(dis_path, 1, chunk), depth=1)
-
-    series: dict[str, list[np.ndarray]] = {}
-    carry_blur = None
-    first = True
-    n_frames = 0
-
-    while True:
-        rb = next(ref_it, None)
-        db = next(dis_it, None)
-        if rb is None or db is None:
-            break
-        n = min(rb.y.shape[0], db.y.shape[0])
-        if n == 0:
-            break
-        pad = chunk - n
-
-        def prep(a, n=n, pad=pad):
-            a = a[:n]
-            if pad:
-                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
-            return a
-
-        ry, ru, rv = prep(rb.y), prep(rb.u), prep(rb.v)
-        dy, du, dv = prep(db.y), prep(db.u), prep(db.v)
-
-        if carry_blur is None:
-            carry_blur = np.zeros(rb.y.shape[1:], np.float32)
-        packed_a, carry_blur = _program_a(
-            ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
-        )
-        # Materialize A BEFORE dispatching B: both programs run near the
-        # compile-time HBM ceiling, and concurrent residency of two big
-        # programs can crash the TPU worker (CLAUDE.md). One fetch per call.
-        packed_a = np.asarray(packed_a)
-        packed_b = np.asarray(_program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl))
-        for row, k in enumerate(A_KEYS):
-            series.setdefault(k, []).append(packed_a[row, :n])
-        for row, k in enumerate(B_KEYS):
-            series.setdefault(k, []).append(packed_b[row, :n])
-        n_frames += n
-        first = False
-        if rb.y.shape[0] != db.y.shape[0]:
-            break  # one stream ended mid-batch: stop at the common prefix
-
-    s = {k: np.concatenate(v) for k, v in series.items()}
+    s, n_frames = _run_quality_chunks(
+        ref_path, dis_path, chunk,
+        model.vif_enhn_gain_limit if model else None,
+        model.adm_enhn_gain_limit if model else None,
+    )
     if n_frames == 0:
         return {"n_frames": 0}
     return pool_full_reference(s, n_frames, vmaf_model_path, model=model)
+
+
+def analyze_combined(
+    ref_path: str,
+    dis_path: str,
+    *,
+    frame_interval: int = 10,
+    resize_width: int = 64,
+    resize_height: int = 64,
+    smoothing_factor: float = 0.8,
+    complexity_chunk: int = 32,
+    complexity_on: str = "dis",
+    chunk: Optional[int] = None,
+    vmaf_model_path: Optional[str] = None,
+) -> tuple[dict, "object"]:
+    """One decode pass per stream: full-reference quality AND the eight-metric
+    complexity suite from the same lockstep loop.
+
+    The reference decodes the encoded clip once for ffmpeg's quality filters
+    and three more times for complexity (``video_processing.py:216+233``,
+    ``complexity_metrics.py:262,520,296`` — SURVEY.md §2.4(3)). The separate
+    engines here already cut that to one full pass per stream plus one sampled
+    pass; this combined engine reaches the two-pass minimum by tapping every
+    ``frame_interval``-th frame of the complexity target stream
+    (``complexity_on``: 'dis' = encoded clip, the reference default; 'ref' =
+    the analyze_original mode) out of the quality loop and feeding a
+    ``ComplexityAccumulator`` (identical chunking/pooling to the streaming
+    driver — equivalence tested).
+
+    Returns ``(quality_dict, ComplexityResult)``.
+    """
+    from rtvqa_tpu.metrics.complexity_streaming import ComplexityAccumulator
+
+    probe = VideoStream(ref_path, 1, 1)
+    chunk = auto_chunk(probe.info.width, probe.info.height, chunk)
+    probe.close()
+    model = load_model(vmaf_model_path) if vmaf_model_path else None
+
+    acc = ComplexityAccumulator(
+        resize_width, resize_height, smoothing_factor, complexity_chunk
+    )
+
+    def tap(rhost, dhost, n, offset):
+        # Sampled frames for complexity out of this already-decoded chunk
+        # (1-based sampling: global frames k-1, 2k-1, … — decode_sampled
+        # semantics, SURVEY.md §2.4(4) unified).
+        cb = dhost if complexity_on == "dis" else rhost
+        gidx = np.arange(offset, offset + n)
+        keep = (gidx + 1) % frame_interval == 0
+        if keep.any():
+            acc.add(
+                cb.y[:n][keep], cb.u[:n][keep], cb.v[:n][keep],
+                cb.timestamps_ms[:n][keep],
+            )
+
+    s, n_frames = _run_quality_chunks(
+        ref_path, dis_path, chunk,
+        model.vif_enhn_gain_limit if model else None,
+        model.adm_enhn_gain_limit if model else None,
+        tap=tap,
+    )
+    comp = acc.finalize()
+    if n_frames == 0:
+        return {"n_frames": 0}, comp
+    return pool_full_reference(s, n_frames, vmaf_model_path, model=model), comp
 
 
 def pool_full_reference(

@@ -69,18 +69,45 @@ def analyze_video(
             "CRF": config.crf,
         }
 
+        comp = None
+        # streaming_complexity=False explicitly opts out of streaming paths →
+        # keep quality and complexity separate (legacy fused complexity).
+        # Otherwise the combined engine computes quality AND complexity from
+        # ONE decode pass per stream (the two-pass minimum; the reference
+        # decodes four times total — SURVEY.md §2.4(3)).
+        use_combined = (
+            config.quality_backend == "native" and config.streaming_complexity is not False
+        )
         if config.quality_backend == "native":
             try:
                 logger.info("Computing native PSNR/SSIM/VMAF (full-res, every frame)")
-                from rtvqa_tpu.metrics.full_reference import analyze_full_reference
+                if use_combined:
+                    from rtvqa_tpu.metrics.full_reference import analyze_combined
 
-                with timer.stage("quality"):
-                    qual = analyze_full_reference(
-                        input_video,
-                        encoded_video,
-                        vmaf_model_path=config.vmaf_model_path,
-                    )
+                    with timer.stage("quality+complexity"):
+                        qual, comp = analyze_combined(
+                            input_video,
+                            encoded_video,
+                            frame_interval=config.frame_interval,
+                            resize_width=config.resize_width,
+                            resize_height=config.resize_height,
+                            smoothing_factor=config.smoothing_alpha,
+                            complexity_chunk=config.batch_size,
+                            complexity_on="ref" if config.analyze_original else "dis",
+                            vmaf_model_path=config.vmaf_model_path,
+                        )
+                else:
+                    from rtvqa_tpu.metrics.full_reference import analyze_full_reference
+
+                    with timer.stage("quality"):
+                        qual = analyze_full_reference(
+                            input_video,
+                            encoded_video,
+                            vmaf_model_path=config.vmaf_model_path,
+                        )
                 timer.add_frames(int(qual.get("n_frames", 0)))
+                if qual["n_frames"] == 0:
+                    comp = None  # degenerate pair: recompute via legacy path
                 if qual["n_frames"] > 0:
                     metrics["PSNR"] = qual["psnr"]
                     metrics["SSIM"] = qual["ssim"]
@@ -98,38 +125,40 @@ def analyze_video(
                         )
             except Exception as e:  # degrade like the reference's missing logs
                 logger.warning("Quality metrics failed: %s", e)
+                comp = None
 
-        logger.info("Calculating scene complexity after encoding...")
-        target = input_video if config.analyze_original else encoded_video
-        use_streaming = config.streaming_complexity
-        if use_streaming is None:  # auto: stream when the file is large
-            use_streaming = os.path.getsize(target) > 256 * 1024 * 1024
-        if use_streaming:
-            from rtvqa_tpu.metrics.complexity_streaming import (
-                calculate_average_scene_complexity_streaming,
-            )
+        if comp is None:
+            logger.info("Calculating scene complexity after encoding...")
+            target = input_video if config.analyze_original else encoded_video
+            use_streaming = config.streaming_complexity
+            if use_streaming is None:  # auto: stream when the file is large
+                use_streaming = os.path.getsize(target) > 256 * 1024 * 1024
+            if use_streaming:
+                from rtvqa_tpu.metrics.complexity_streaming import (
+                    calculate_average_scene_complexity_streaming,
+                )
 
-            with timer.stage("complexity"):
-                comp = calculate_average_scene_complexity_streaming(
-                    target,
-                    resize_width=config.resize_width,
-                    resize_height=config.resize_height,
-                    frame_interval=config.frame_interval,
-                    smoothing_factor=config.smoothing_alpha,
-                    chunk=config.batch_size,
-                )
-        else:
-            with timer.stage("decode"):
-                clip = vio.decode_sampled(
-                    target, frame_interval=config.frame_interval, threads=config.num_workers
-                )
-            with timer.stage("complexity"):
-                comp = calculate_average_scene_complexity(
-                    clip,
-                    resize_width=config.resize_width,
-                    resize_height=config.resize_height,
-                    smoothing_factor=config.smoothing_alpha,
-                )
+                with timer.stage("complexity"):
+                    comp = calculate_average_scene_complexity_streaming(
+                        target,
+                        resize_width=config.resize_width,
+                        resize_height=config.resize_height,
+                        frame_interval=config.frame_interval,
+                        smoothing_factor=config.smoothing_alpha,
+                        chunk=config.batch_size,
+                    )
+            else:
+                with timer.stage("decode"):
+                    clip = vio.decode_sampled(
+                        target, frame_interval=config.frame_interval, threads=config.num_workers
+                    )
+                with timer.stage("complexity"):
+                    comp = calculate_average_scene_complexity(
+                        clip,
+                        resize_width=config.resize_width,
+                        resize_height=config.resize_height,
+                        smoothing_factor=config.smoothing_alpha,
+                    )
 
         # Correct label<->value mapping (reference bug SURVEY.md §2.4(1)).
         metrics.update(

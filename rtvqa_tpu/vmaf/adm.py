@@ -154,28 +154,47 @@ def adm_features(
     num_total = 0.0
     den_total = 0.0
     for scale in range(4):
-        o, oh, ov, od = _dwt_1level(o)
-        t, th, tv, td = _dwt_1level(t)
-        (rh, rv, rd), (ah, av, ad) = _decouple(
-            oh, ov, od, th, tv, td, enhn_gain_limit
-        )
-        fh, fv, fd = csf_rfactors(scale)
-        thr = _mask_threshold(ah * fh, av * fv, ad * fd)
-        hh, ww = oh.shape[-2], oh.shape[-1]
-        ys, xs = _center_crop_slices(hh, ww)
-        area = (ys.stop - ys.start) * (xs.stop - xs.start)
-        offset = (area / 32.0) ** (1.0 / 3.0)
-        for rst, orig, f in ((rh, oh, fh), (rv, ov, fv), (rd, od, fd)):
-            masked = jnp.maximum(jnp.abs(rst * f) - thr, 0.0)
-            num = jnp.sum(masked[..., ys, xs] ** 3.0, axis=(-2, -1)) ** (1.0 / 3.0)
-            den = jnp.sum(
-                jnp.abs(orig[..., ys, xs] * f) ** 3.0, axis=(-2, -1)
-            ) ** (1.0 / 3.0)
-            num_total = num_total + num + offset
-            den_total = den_total + den + offset
-    h0, w0 = ref_y.shape[-2], ref_y.shape[-1]
+        o, t, num, den = adm_one_scale(o, t, scale, enhn_gain_limit)
+        num_total = num_total + num
+        den_total = den_total + den
+    return {"adm2": adm_finalize(num_total, den_total, ref_y.shape)}
+
+
+def adm_one_scale(o, t, scale: int, enhn_gain_limit=None):
+    """One DWT level + decoupling + CSF + masking + L3 pooling.
+
+    Returns (a_ref, a_dis, num_contrib, den_contrib): the next level's inputs
+    and this scale's contributions (already including the three per-band
+    ``cbrt(area/32)`` offsets). Shared by the XLA path above and the Pallas
+    scale-0 kernel's host driver (``kernels.adm_pallas``), which replaces
+    exactly this function at scale 0.
+    """
+    o, oh, ov, od = _dwt_1level(o)
+    t, th, tv, td = _dwt_1level(t)
+    (rh, rv, rd), (ah, av, ad) = _decouple(oh, ov, od, th, tv, td, enhn_gain_limit)
+    fh, fv, fd = csf_rfactors(scale)
+    thr = _mask_threshold(ah * fh, av * fv, ad * fd)
+    hh, ww = oh.shape[-2], oh.shape[-1]
+    ys, xs = _center_crop_slices(hh, ww)
+    area = (ys.stop - ys.start) * (xs.stop - xs.start)
+    offset = (area / 32.0) ** (1.0 / 3.0)
+    num_total = 0.0
+    den_total = 0.0
+    for rst, orig, f in ((rh, oh, fh), (rv, ov, fv), (rd, od, fd)):
+        masked = jnp.maximum(jnp.abs(rst * f) - thr, 0.0)
+        num = jnp.sum(masked[..., ys, xs] ** 3.0, axis=(-2, -1)) ** (1.0 / 3.0)
+        den = jnp.sum(
+            jnp.abs(orig[..., ys, xs] * f) ** 3.0, axis=(-2, -1)
+        ) ** (1.0 / 3.0)
+        num_total = num_total + num + offset
+        den_total = den_total + den + offset
+    return o, t, num_total, den_total
+
+
+def adm_finalize(num_total, den_total, luma_shape) -> jnp.ndarray:
+    """adm2 from the summed per-scale contributions (degenerate-clip rule)."""
+    h0, w0 = luma_shape[-2], luma_shape[-1]
     numden_limit = 1e-2 * (h0 * w0) / (1920.0 * 1080.0)
-    adm2 = jnp.where(
+    return jnp.where(
         den_total < numden_limit, 1.0, num_total / jnp.maximum(den_total, 1e-30)
     )
-    return {"adm2": adm2}

@@ -1,0 +1,79 @@
+"""Fused Pallas ADM scale-0 kernel vs the XLA implementation (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from rtvqa_tpu.vmaf.adm import adm_features, adm_one_scale
+
+
+def make_pair(rng, b=2, h=64, w=96, noise=8):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        110
+        + 60 * np.sin(2 * np.pi * xx / 37.0)
+        + 40 * np.cos(2 * np.pi * (xx + 2 * yy) / 53.0)
+    )
+    ref = np.stack(
+        [np.clip(base + rng.normal(0, 10, (h, w)), 0, 255) for _ in range(b)]
+    ).astype(np.float32)
+    dis = np.clip(ref + rng.normal(0, noise, ref.shape), 0, 255).astype(np.float32)
+    return ref, dis
+
+
+def test_adm0_kernel_matches_xla(rng):
+    from rtvqa_tpu.kernels.adm_pallas import adm_scale0_pallas
+
+    ref, dis = make_pair(rng)
+    num, den, a_ref, a_dis = adm_scale0_pallas(ref, dis, interpret=True)
+    exp_o, exp_t, exp_num, exp_den = adm_one_scale(ref, dis, 0)
+    np.testing.assert_allclose(np.asarray(num), np.asarray(exp_num), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(den), np.asarray(exp_den), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(a_ref), np.asarray(exp_o), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_dis), np.asarray(exp_t), rtol=1e-4, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("h,w", [(53, 71), (40, 64), (67, 96), (135, 240)])
+def test_adm0_kernel_ragged_and_odd_dims(rng, h, w):
+    """Odd dims + H2 % STRIP != 0 (the 1080p case: 540 % 16 == 12)."""
+    from rtvqa_tpu.kernels.adm_pallas import adm_scale0_pallas
+
+    ref, dis = make_pair(rng, b=1, h=h, w=w)
+    num, den, a_ref, a_dis = adm_scale0_pallas(ref, dis, interpret=True)
+    exp_o, exp_t, exp_num, exp_den = adm_one_scale(ref, dis, 0)
+    np.testing.assert_allclose(np.asarray(num), np.asarray(exp_num), rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(den), np.asarray(exp_den), rtol=3e-4)
+    assert a_ref.shape == exp_o.shape
+    np.testing.assert_allclose(
+        np.asarray(a_ref), np.asarray(exp_o), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_adm_features_pallas_full(rng):
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+
+    ref, dis = make_pair(rng, b=1, h=96, w=128)
+    got = float(np.asarray(adm_features_pallas(ref, dis)["adm2"])[0])
+    exp = float(np.asarray(adm_features(ref, dis)["adm2"])[0])
+    assert got == pytest.approx(exp, rel=2e-4)
+
+    # Identity: adm2 == 1 exactly through the kernel too.
+    ident = float(np.asarray(adm_features_pallas(ref, ref)["adm2"])[0])
+    assert ident == pytest.approx(1.0, abs=1e-4)
+
+
+def test_adm_features_pallas_neg_gain_limit(rng):
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+
+    ref, _ = make_pair(rng, b=1, h=96, w=128)
+    enhanced = np.clip((ref - ref.mean()) * 1.4 + ref.mean(), 0, 255).astype(np.float32)
+    got = float(
+        np.asarray(adm_features_pallas(ref, enhanced, enhn_gain_limit=1.0)["adm2"])[0]
+    )
+    exp = float(
+        np.asarray(adm_features(ref, enhanced, enhn_gain_limit=1.0)["adm2"])[0]
+    )
+    assert got == pytest.approx(exp, rel=2e-4)

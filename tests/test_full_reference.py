@@ -54,6 +54,59 @@ def test_streaming_vmaf_sane(pair):
     np.testing.assert_allclose(ident["per_frame"]["vif_scale3"], 1.0, atol=1e-4)
 
 
+@pytest.mark.parametrize("interval", [1, 3])
+def test_combined_engine_matches_separate(pair, interval):
+    """analyze_combined (one decode pass per stream) must reproduce both the
+    streaming quality engine and the streaming complexity driver exactly."""
+    from rtvqa_tpu.metrics.complexity_streaming import (
+        calculate_average_scene_complexity_streaming,
+    )
+    from rtvqa_tpu.metrics.full_reference import analyze_combined
+
+    ref, dis = pair
+    qual, comp = analyze_combined(
+        ref, dis,
+        frame_interval=interval, resize_width=48, resize_height=48,
+        complexity_chunk=4, chunk=4,
+    )
+    sep_q = analyze_full_reference(ref, dis, chunk=4)
+    assert qual["n_frames"] == sep_q["n_frames"]
+    assert qual["psnr"] == pytest.approx(sep_q["psnr"], abs=1e-5)
+    assert qual["ssim"] == pytest.approx(sep_q["ssim"], abs=1e-7)
+    np.testing.assert_allclose(
+        qual["per_frame"]["motion2"], sep_q["per_frame"]["motion2"], atol=1e-6
+    )
+
+    sep_c = calculate_average_scene_complexity_streaming(
+        dis, resize_width=48, resize_height=48,
+        frame_interval=interval, chunk=4,
+    )
+    for field in ("motion", "dct", "histogram", "edge", "orb", "color",
+                  "temporal_dct", "framerate"):
+        assert getattr(comp, field) == pytest.approx(
+            getattr(sep_c, field), rel=1e-6, abs=1e-9
+        ), field
+
+
+def test_combined_engine_complexity_on_ref(pair):
+    """analyze_original mode: complexity taps the reference stream."""
+    from rtvqa_tpu.metrics.complexity_streaming import (
+        calculate_average_scene_complexity_streaming,
+    )
+    from rtvqa_tpu.metrics.full_reference import analyze_combined
+
+    ref, dis = pair
+    _, comp = analyze_combined(
+        ref, dis, frame_interval=2, resize_width=48, resize_height=48,
+        complexity_chunk=4, chunk=4, complexity_on="ref",
+    )
+    sep = calculate_average_scene_complexity_streaming(
+        ref, resize_width=48, resize_height=48, frame_interval=2, chunk=4
+    )
+    assert comp.dct == pytest.approx(sep.dct, rel=1e-6)
+    assert comp.motion == pytest.approx(sep.motion, rel=1e-6)
+
+
 def test_streaming_motion_chunk_boundary(pair):
     # motion2 must be identical for chunk=4 and chunk=32 (boundary carry).
     ref, dis = pair

@@ -85,10 +85,18 @@ def test_analyzer_emits_stage_profile(env, tmp_path, caplog):
     timer = StageTimer()
     analyze_video(env["clip"], cfg, timer=timer)
     summary = timer.summary()
-    for stage in ("encode", "probe", "quality", "decode", "complexity"):
+    for stage in ("encode", "probe", "quality+complexity"):
         assert stage in summary["stages"], summary
     assert summary["frames"] > 0
     assert summary["frames_per_sec"] > 0
+
+    # The legacy separate path (streaming_complexity=False) stages decode and
+    # complexity individually.
+    cfg2 = dataclasses.replace(cfg, streaming_complexity=False)
+    timer2 = StageTimer()
+    analyze_video(env["clip"], cfg2, timer=timer2)
+    for stage in ("encode", "probe", "quality", "decode", "complexity"):
+        assert stage in timer2.summary()["stages"], timer2.summary()
 
     # Without an external timer, the summary lands in the log.
     with caplog.at_level(logging.INFO, logger="rtvqa_tpu.profiler"):

@@ -215,9 +215,16 @@ def stage_to_device(iterator: Iterator[FrameBatch], chunk: int) -> Iterator[Stag
     try:
         for fb in iterator:
             if fb.y.shape[0] == chunk:
-                yield StagedFrameBatch(
-                    fb, jax.device_put(fb.y), jax.device_put(fb.u), jax.device_put(fb.v)
+                planes = (
+                    jax.device_put(fb.y), jax.device_put(fb.u), jax.device_put(fb.v)
                 )
+                # Force the transfer HERE, on the producer thread. An
+                # unforced device_put is deferred until first use; resolving
+                # it from inside a program dispatch takes a ~20x slower
+                # tunnel path (measured: 1.9s vs 0.07s + 0.1s transfer for a
+                # 64-frame 1080p chunk) and serializes with the compute.
+                jax.block_until_ready(planes)
+                yield StagedFrameBatch(fb, *planes)
             else:
                 yield StagedFrameBatch(fb)
     finally:

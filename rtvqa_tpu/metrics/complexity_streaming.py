@@ -158,9 +158,12 @@ class ComplexityAccumulator:
             yp, up, vp = y, u, v
 
         # Explicit staging: jit's implicit numpy upload is ~30x slower through
-        # the tunnel. The previous-frame operand is built on device inside
+        # the tunnel, and an unforced device_put resolved inside a program
+        # dispatch takes a similarly slow deferred path — force the transfer
+        # first. The previous-frame operand is built on device inside
         # _chunk_values from the carried device tail (no double upload).
         dy, du, dv = jax.device_put(yp), jax.device_put(up), jax.device_put(vp)
+        jax.block_until_ready((dy, du, dv))
         packed = np.asarray(
             _chunk_values(
                 dy, du, dv, *(jax.device_put(t) for t in tail),

@@ -31,8 +31,9 @@ import time
 import numpy as np
 
 H, W = 1080, 1920
-N_DEVICE = 128   # frames per batch — all three programs compile at 128 since
-N_B = 128        # the Pallas VIF kernel cut program B's HBM peak (round 2)
+N_DEVICE = 128   # frames per batch — the fused quality chunk program and the
+                 # complexity suite both compile at 128 1080p frames (the
+                 # Pallas VIF+ADM kernels cut the quality HBM peak, round 2)
 REPS = 2
 N_CPU = 2        # frames for the CPU baseline (extrapolated)
 
@@ -98,11 +99,11 @@ def phase_complexity() -> float:
 
 def phase_quality() -> float:
     """Seconds per N_DEVICE-frame batch for PSNR+SSIM+VMAF features,
-    using the production A/B split programs (metrics.full_reference)."""
+    using the production fused chunk program (metrics.full_reference)."""
     import jax
     import numpy as _np
 
-    from rtvqa_tpu.metrics.full_reference import _program_a, _program_b
+    from rtvqa_tpu.metrics.full_reference import _program_chunk
     from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -110,11 +111,8 @@ def phase_quality() -> float:
     zero_blur = jax.device_put(_np.zeros((H, W), _np.float32))
 
     def run(v):
-        ry, ru, rv, dy, du, dv = v
-        packed_a, _ = _program_a(ry, ru, rv, dy, du, dv, zero_blur, True)
-        _np.asarray(packed_a)
-        for start in range(0, N_DEVICE, N_B):
-            _np.asarray(_program_b(ry[start : start + N_B], dy[start : start + N_B]))
+        packed, _ = _program_chunk(*v, zero_blur, True)
+        _np.asarray(packed)
 
     run(variants[-1])
     t0 = time.perf_counter()

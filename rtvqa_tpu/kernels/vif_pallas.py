@@ -13,8 +13,16 @@ row strips and writes only:
 HBM traffic per frame drops from ~30 full-res arrays to 2 reads + 2
 quarter-size writes.
 
+Dataflow per strip (round-2 MXU restructure): the five moment inputs are
+stacked along sublanes so the 17-tap LANE pass runs as one set of 17
+`pltpu.roll`s over the stack; the SUBLANE pass is one block-diagonal banded
+matmul on the MXU (which also restricts statistics to the strip's valid rows
+— the roll version computed and masked the halo rows too). The 9-tap filter
++ 2x row decimation for scale 1 is likewise one lane-roll pass over both
+streams stacked plus one banded decimating matmul.
+
 Layout rules honored (see CLAUDE.md): only static-shift `pltpu.roll` for
-sublane/lane offsets, no lane-splitting reshapes (lane decimation uses a
+lane offsets, no lane-splitting reshapes (lane decimation uses a
 0/1 selection matmul on the MXU), lane-aligned output blocks.
 
 Border handling matches `vmaf.filters` (scipy-'mirror' reflection): the host
@@ -55,15 +63,6 @@ def _filt_lanes(x, taps, lanes_total):
     return acc
 
 
-def _filt_sublanes(x, taps, rows_total):
-    acc = None
-    for t, w in enumerate(taps):
-        sh = (rows_total - t) % rows_total
-        term = float(w) * (pltpu.roll(x, sh, axis=0) if sh else x)
-        acc = term if acc is None else acc + term
-    return acc
-
-
 def _vif0_kernel(
     ref_hbm, dis_hbm, out_nd_ref, dec_ref_out, dec_dis_out,
     rbuf, dbuf, sem_r, sem_d,
@@ -96,18 +95,38 @@ def _vif0_kernel(
     d = dbuf[...]
 
     # --- 17-tap separable moment filters -----------------------------------
-    # After the lane pass, lane j holds the filtered value centered at
-    # original column j (window [j-8, j+8] in padded coords [j, j+16]).
-    # After the sublane pass, row x holds the value centered at original row
-    # s*strip + x. Valid outputs: rows [0, strip), lanes [0, w).
-    def moments(x):
-        return _filt_sublanes(_filt_lanes(x, TAPS17, wq), TAPS17, rows)
+    # Lane pass: after it, lane j holds the filtered value centered at
+    # original column j (window [j-8, j+8] in padded coords [j, j+16]). The
+    # five moment inputs are STACKED along sublanes so the 17 `pltpu.roll`s
+    # run once over a (5*rows, wq) array instead of 85 rolls over five
+    # (rows, wq) arrays (VPU work is the same per element, but per-op roll
+    # overhead dominates at this size — measured ~35% kernel time).
+    # Sublane pass: ONE block-diagonal banded matmul on the MXU replaces the
+    # 85 sublane rolls AND restricts output to the strip's valid rows (the
+    # roll version computed statistics on all `rows` sublanes and masked
+    # half of them away).
+    stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
+    lane_f = _filt_lanes(stacked, TAPS17, wq)
 
-    mu1 = moments(r)
-    mu2 = moments(d)
-    s11 = moments(r * r)
-    s22 = moments(d * d)
-    s12 = moments(r * d)
+    # M[o, l] = taps[t] where l = (o//strip)*rows + (o%strip) + t: for output
+    # row x of moment m, the 17-tap window over its own stacked segment.
+    o_ids = jax.lax.broadcasted_iota(jnp.int32, (5 * strip, 5 * rows), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (5 * strip, 5 * rows), 1)
+    dband = l_ids - ((o_ids // strip) * rows + o_ids % strip)
+    mband = None
+    for t, wgt in enumerate(TAPS17):
+        term = jnp.where(dband == t, float(wgt), 0.0)
+        mband = term if mband is None else mband + term
+    mom = jnp.dot(
+        mband, lane_f,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mu1 = mom[0:strip]
+    mu2 = mom[strip : 2 * strip]
+    s11 = mom[2 * strip : 3 * strip]
+    s22 = mom[3 * strip : 4 * strip]
+    s12 = mom[4 * strip : 5 * strip]
 
     sigma1 = jnp.maximum(s11 - mu1 * mu1, 0.0)
     sigma2 = jnp.maximum(s22 - mu2 * mu2, 0.0)
@@ -130,8 +149,8 @@ def _vif0_kernel(
     num = jnp.log2(1.0 + g * g * sigma1 / (sv + _SIGMA_NSQ))
     den = jnp.log2(1.0 + sigma1 / _SIGMA_NSQ)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wq), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wq), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 1)
     strip_valid = jnp.minimum(strip, h - s * strip)  # ragged last strip
     valid = (row_ids < strip_valid) & (col_ids < w)
     num_sum = jnp.sum(jnp.where(valid, num, 0.0))
@@ -146,42 +165,37 @@ def _vif0_kernel(
     # HALO - 4 (= 8 - 9//2).
     off = HALO - len(TAPS9) // 2
 
-    def filt9(x):
-        lane = None
-        for t, wgt in enumerate(TAPS9):
-            sh = (wq - (t + off)) % wq
-            term = float(wgt) * (pltpu.roll(x, sh, axis=1) if sh else x)
-            lane = term if lane is None else lane + term
-        acc = None
-        for t, wgt in enumerate(TAPS9):
-            sh = (rows - (t + off)) % rows
-            term = float(wgt) * (pltpu.roll(lane, sh, axis=0) if sh else lane)
-            acc = term if acc is None else acc + term
-        return acc
+    # Lane pass over both streams stacked (9 rolls on (2*rows, wq)), then
+    # ONE banded matmul that fuses the 9-tap sublane filter WITH the 2x row
+    # decimation: decimated output row rr of stream m reads its stacked
+    # segment's padded rows [2*rr + off, 2*rr + off + 9). LANE decimation
+    # happens OUTSIDE the kernel (filters.even_lanes, one MXU matmul on the
+    # half-height array): an in-kernel (wq, wd) lane-selection matrix costs
+    # 8 MB of VMEM at 1080p and blew the 16 MB scoped budget.
+    rd_stack = jnp.concatenate([r, d], axis=0)
+    lane9 = None
+    for t, wgt in enumerate(TAPS9):
+        sh = (wq - (t + off)) % wq
+        term = float(wgt) * (pltpu.roll(rd_stack, sh, axis=1) if sh else rd_stack)
+        lane9 = term if lane9 is None else lane9 + term
 
-    f_r = filt9(r)
-    f_d = filt9(d)
-    # Row decimation only, in-kernel: even output rows 0,2,..,strip-2 via a
-    # small sublane-selection matmul (strip/2, rows) from the left — rows are
-    # the sublane axis, where Mosaic supports strided static slicing poorly.
-    # LANE decimation happens OUTSIDE the kernel (filters.even_lanes, one MXU
-    # matmul on the half-height array): an in-kernel (wq, wd) lane-selection
-    # matrix costs 8 MB of VMEM at 1080p and blew the 16 MB scoped budget.
-    row_sel_r = jax.lax.broadcasted_iota(jnp.int32, (strip // 2, rows), 0)
-    row_sel_c = jax.lax.broadcasted_iota(jnp.int32, (strip // 2, rows), 1)
-    row_sel = (row_sel_c == 2 * row_sel_r).astype(jnp.float32)
-
-    def dec_rows(x):
-        # HIGHEST precision: a 0/1 selection matmul in default (bf16-class)
-        # precision rounds the selected values themselves.
-        return jnp.dot(
-            row_sel, x,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    dec_ref_out[0, :, :] = dec_rows(f_r)
-    dec_dis_out[0, :, :] = dec_rows(f_d)
+    half = strip // 2
+    o9 = jax.lax.broadcasted_iota(jnp.int32, (2 * half, 2 * rows), 0)
+    l9 = jax.lax.broadcasted_iota(jnp.int32, (2 * half, 2 * rows), 1)
+    d9 = l9 - ((o9 // half) * rows + 2 * (o9 % half) + off)
+    m9 = None
+    for t, wgt in enumerate(TAPS9):
+        term = jnp.where(d9 == t, float(wgt), 0.0)
+        m9 = term if m9 is None else m9 + term
+    # HIGHEST precision: default (bf16-class) matmul precision would round
+    # the filtered values themselves.
+    dec = jnp.dot(
+        m9, lane9,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dec_ref_out[0, :, :] = dec[0:half]
+    dec_dis_out[0, :, :] = dec[half : 2 * half]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -110,17 +110,33 @@ def _program_b(ry, dy, vif_egl=None, adm_egl=None):
     return jnp.stack([out[k].astype(jnp.float32) for k in B_KEYS])
 
 
-def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
-    """Frames per stream chunk (one program A call + one program B call),
-    scaled to resolution.
+@functools.partial(jax.jit, static_argnames=("vif_egl", "adm_egl"))
+def _program_chunk(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
+                   vif_egl=None, adm_egl=None):
+    """One fused program per chunk: PSNR+SSIM+motion AND VIF+ADM.
 
-    With the fused Pallas VIF scale-0 kernel (round 2), program B's HBM peak
-    dropped enough that both programs compile at 128 simultaneous 1080p
-    frames; 64 balances that against host decode latency and RAM. Larger
-    chunks amortize the tunnel's ~40 ms fixed cost per program call.
+    Merging A and B into a single XLA program saves one dispatch + one fetch
+    round trip per chunk (~26 ms/chunk measured through the tunnel at 64
+    1080p frames) and removes the concurrent-big-program worker-crash hazard
+    by construction — XLA schedules the phases inside one executable.
+    Returns (packed (len(CHUNK_KEYS), N), new blur carry).
+    """
+    pa, blur = _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev)
+    pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl)
+    return jnp.concatenate([pa, pb], axis=0), blur
+
+
+def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
+    """Frames per stream chunk (one fused program call), scaled to resolution.
+
+    With the fused Pallas VIF and ADM scale-0 kernels (round 2), the quality
+    program's HBM peak dropped enough that the merged chunk program compiles
+    at 128 simultaneous 1080p frames; 64 balances that against host decode
+    latency and RAM. Larger chunks amortize the tunnel's ~40 ms fixed cost
+    per program call.
     """
     budget = max(2, int(64 * (1080 * 1920) / max(width * height, 1)))
-    budget = min(budget, 256)
+    budget = min(budget, 128)
     chunk = min(requested or budget, budget)
     return max(2, (chunk // 2) * 2)
 
@@ -136,8 +152,8 @@ def _run_quality_chunks(
     """The shared streaming loop: decode both streams once in lockstep,
     stage full chunks into HBM from the prefetch threads (explicit
     ``device_put`` — jit's implicit numpy upload is ~30x slower through the
-    tunnel and re-uploads shared operands per program), run programs A and B
-    per chunk, return (per-frame series, n_frames).
+    tunnel and re-uploads shared operands per program), run ONE fused metric
+    program per chunk, return (per-frame series, n_frames).
 
     ``tap(db_host_batch, n, global_offset)`` — optional callback fired per
     chunk with the decoded host batches (the combined engine's complexity
@@ -176,22 +192,30 @@ def _run_quality_chunks(
 
         if carry_blur is None:
             carry_blur = np.zeros(rhost.y.shape[1:], np.float32)
-        packed_a, carry_blur = _program_a(
-            ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
-        )
-        # Materialize A BEFORE dispatching B: both programs run near the
-        # compile-time HBM ceiling, and concurrent residency of two big
-        # programs can crash the TPU worker (CLAUDE.md). One fetch per call.
-        packed_a = np.asarray(packed_a)
-        packed_b = np.asarray(_program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl))
+        if jax.default_backend() != "cpu":
+            # One fused program per chunk: one dispatch + one fetch round
+            # trip through the tunnel.
+            packed, carry_blur = _program_chunk(
+                ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first),
+                vif_egl=vif_egl, adm_egl=adm_egl,
+            )
+            packed = np.asarray(packed)
+        else:
+            # CPU: no RPC round trips to save, and the merged module takes
+            # several times longer to compile on the single host core than
+            # the two halves — keep the split dispatch.
+            pa, carry_blur = _program_a(
+                ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
+            )
+            pa = np.asarray(pa)
+            pb = np.asarray(_program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl))
+            packed = np.concatenate([pa, pb], axis=0)
 
         if tap is not None:
             tap(rhost, dhost, n, n_frames)
 
-        for row, k in enumerate(A_KEYS):
-            series.setdefault(k, []).append(packed_a[row, :n])
-        for row, k in enumerate(B_KEYS):
-            series.setdefault(k, []).append(packed_b[row, :n])
+        for row, k in enumerate(CHUNK_KEYS):
+            series.setdefault(k, []).append(packed[row, :n])
         n_frames += n
         first = False
         if rhost.y.shape[0] != dhost.y.shape[0]:

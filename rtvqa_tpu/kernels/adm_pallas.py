@@ -54,7 +54,10 @@ from rtvqa_tpu.vmaf.adm import (
     csf_rfactors,
 )
 
-STRIP = 16          # decimated (subband-grid) rows produced per grid step
+STRIP = 32          # decimated (subband-grid) rows produced per grid step —
+                    # sized to amortize the ~15 us/cell Mosaic grid + DMA
+                    # overhead (the dominant kernel cost at 1080p) within the
+                    # VMEM budget
 HALO_IN = 4         # input mirror halo (covers db2 reflect depth 2 + spread)
 LO = tuple(float(v) for v in DB2_LO)
 HI = tuple(float(v) for v in DB2_HI)

@@ -36,24 +36,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _bm_kernel(curr_ref, prev_hbm_ref, out_ref, prev_vmem, sem, *, block, radius, wb):
+def _bm_kernel(
+    curr_ref, prev_hbm_ref, out_ref, prev_vmem, sem,
+    *, block, radius, wb, kb, n_blockrows,
+):
     i = pl.program_id(0)
     s = pl.program_id(1)
-    rows = block + 2 * radius
+    rows = kb * block + 2 * radius
 
     dma = pltpu.make_async_copy(
-        prev_hbm_ref.at[i, pl.ds(s * block, rows), :],
+        prev_hbm_ref.at[i, pl.ds(s * kb * block, rows), :],
         prev_vmem,
         sem,
     )
     dma.start()
 
-    curr = curr_ref[0]  # (block, wq)
+    curr = curr_ref[0]  # (kb*block, wq) — kb block-rows per grid cell,
+    # amortizing the ~15 us Mosaic grid + DMA overhead per cell (the
+    # dominant kernel cost at 1080p; one block-row per cell measured
+    # ~1.4 ms/frame of pure overhead at 67 cells).
     wq = curr.shape[1]
     n_blocks = wb // block
     nb_pad = ((n_blocks + 127) // 128) * 128  # lane-aligned block count (4K+)
     side = 2 * radius + 1
-    rows_total = block + 2 * radius
+    rows_total = kb * block + 2 * radius
 
     # Block-pooling matrix: P[j, c] = 1 iff lane j belongs to block c and
     # j < wb (masks the lane padding). One (wq, nb_pad) matrix per call; the
@@ -75,39 +81,49 @@ def _bm_kernel(curr_ref, prev_hbm_ref, out_ref, prev_vmem, sem, *, block, radius
     # values to one chunk (an all-289-row concat kept too many values alive
     # and could crash the worker when fused into larger programs).
     strip = prev_vmem[...]
-    best_sad = jnp.full((1, nb_pad), jnp.inf, jnp.float32)
-    best_k = jnp.zeros((1, nb_pad), jnp.int32)
+    best_sad = [jnp.full((1, nb_pad), jnp.inf, jnp.float32) for _ in range(kb)]
+    best_k = [jnp.zeros((1, nb_pad), jnp.int32) for _ in range(kb)]
     for dy in range(side):
-        rows_rolled = pltpu.roll(strip, rows_total - dy, axis=0)[:block]
-        colsums = []
+        rows_rolled = pltpu.roll(strip, rows_total - dy, axis=0)[: kb * block]
+        colsums = [[] for _ in range(kb)]
         for dx in range(side):
             win = pltpu.roll(rows_rolled, prev_vmem.shape[1] - dx, axis=1)[:, :wq]
-            d = jnp.abs(curr - win)
-            colsums.append(jnp.sum(d, axis=0, keepdims=True))       # (1, wq)
-        cs = jnp.concatenate(colsums, axis=0)                        # (side, wq)
-        sad = pool_rows(cs)                                          # (side, nb_pad)
-        sad = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, sad.shape, 1) < n_blocks,
-            sad, jnp.inf,
-        )
-        k_local = jnp.argmin(sad, axis=0).reshape(1, nb_pad).astype(jnp.int32)
-        m = jnp.min(sad, axis=0).reshape(1, nb_pad)
-        # Strict '<' keeps the earlier (raster-order) chunk on ties, and
-        # argmin's first-occurrence rule handles ties within a chunk — the
-        # XLA op's first-minimum tie-breaking exactly.
-        better = m < best_sad
-        best_k = jnp.where(better, dy * side + k_local, best_k)
-        best_sad = jnp.where(better, m, best_sad)
+            d = jnp.abs(curr - win)                                  # (kb*block, wq)
+            for g in range(kb):
+                colsums[g].append(
+                    jnp.sum(d[g * block : (g + 1) * block], axis=0, keepdims=True)
+                )                                                    # (1, wq)
+        for g in range(kb):
+            cs = jnp.concatenate(colsums[g], axis=0)                 # (side, wq)
+            sad = pool_rows(cs)                                      # (side, nb_pad)
+            sad = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, sad.shape, 1) < n_blocks,
+                sad, jnp.inf,
+            )
+            k_local = jnp.argmin(sad, axis=0).reshape(1, nb_pad).astype(jnp.int32)
+            m = jnp.min(sad, axis=0).reshape(1, nb_pad)
+            # Strict '<' keeps the earlier (raster-order) chunk on ties, and
+            # argmin's first-occurrence rule handles ties within a chunk —
+            # the XLA op's first-minimum tie-breaking exactly.
+            better = m < best_sad[g]
+            best_k[g] = jnp.where(better, dy * side + k_local, best_k[g])
+            best_sad[g] = jnp.where(better, m, best_sad[g])
 
-    fdy = (best_k // side - radius).astype(jnp.float32)
-    fdx = (best_k % side - radius).astype(jnp.float32)
-    mag = jnp.sqrt(fdy * fdy + fdx * fdx)                            # (1, nb_pad)
     lane_mask = (
         jax.lax.broadcasted_iota(jnp.int32, (1, nb_pad), 1) < n_blocks
     ).astype(jnp.float32)
-    mean_mag = jnp.sum(mag * lane_mask) / n_blocks
+    sum_mag = 0.0
+    for g in range(kb):
+        fdy = (best_k[g] // side - radius).astype(jnp.float32)
+        fdx = (best_k[g] % side - radius).astype(jnp.float32)
+        mag = jnp.sqrt(fdy * fdy + fdx * fdx)                        # (1, nb_pad)
+        # Mask block-rows beyond the frame (ragged last cell).
+        valid = s * kb + g < n_blockrows
+        sum_mag = sum_mag + jnp.where(valid, jnp.sum(mag * lane_mask), 0.0)
     # TPU lowering rejects sub-(8,128) output blocks; write a 128-lane row.
-    out_ref[0, s, :] = jnp.full((128,), mean_mag, jnp.float32)
+    # Partial SUM per cell (cells may hold unequal valid row counts); the
+    # host divides by the global block count.
+    out_ref[0, s, :] = jnp.full((128,), sum_mag, jnp.float32)
 
 
 def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
@@ -118,15 +134,25 @@ def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
     band edges, edge replication at frame borders)."""
     b = curr_p.shape[0]
     wq = curr_p.shape[2]
-    n_strips = hb // block
-    rows = block + 2 * radius
+    n_blockrows = hb // block
+    kb = min(4, n_blockrows)  # block-rows per grid cell
+    n_strips = -(-n_blockrows // kb)
+    hb2 = n_strips * kb * block
+    if hb2 > hb:  # ragged: pad rows (masked out in-kernel via n_blockrows)
+        curr_p = jnp.pad(curr_p, ((0, 0), (0, hb2 - hb), (0, 0)), mode="edge")
+        prev_p = jnp.pad(prev_p, ((0, 0), (0, hb2 - hb), (0, 0)), mode="edge")
+    rows = kb * block + 2 * radius
     out = pl.pallas_call(
-        functools.partial(_bm_kernel, block=block, radius=radius, wb=wb),
+        functools.partial(
+            _bm_kernel, block=block, radius=radius, wb=wb,
+            kb=kb, n_blockrows=n_blockrows,
+        ),
         out_shape=jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
         grid=(b, n_strips),
         in_specs=[
             pl.BlockSpec(
-                (1, block, wq), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM
+                (1, kb * block, wq), lambda i, s: (i, s, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -137,9 +163,15 @@ def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
             pltpu.VMEM((rows, prev_p.shape[2]), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # Mosaic's default 16 MB scoped-vmem budget counts the unrolled
+        # displacement loop's temporaries cumulatively (~9 MB at kb=1);
+        # the chip has 128 MB of VMEM — raise the budget so kb=4 strips
+        # (which amortize per-cell grid+DMA overhead 4x) compile.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(curr_p, prev_p)
-    return jnp.mean(out[..., 0], axis=-1)
+    n_blocks = wb // block
+    return jnp.sum(out[..., 0], axis=-1) / (n_blockrows * n_blocks)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "radius", "interpret"))

@@ -13,17 +13,19 @@ row strips and writes only:
 HBM traffic per frame drops from ~30 full-res arrays to 2 reads + 2
 quarter-size writes.
 
-Dataflow per strip (round-2 MXU restructure): the five moment inputs are
-stacked along sublanes so the 17-tap LANE pass runs as one set of 17
-`pltpu.roll`s over the stack; the SUBLANE pass is one block-diagonal banded
-matmul on the MXU (which also restricts statistics to the strip's valid rows
-— the roll version computed and masked the halo rows too). The 9-tap filter
-+ 2x row decimation for scale 1 is likewise one lane-roll pass over both
-streams stacked plus one banded decimating matmul.
+Dataflow per strip (round-2 MXU restructure): every scale (the kernel is
+generic over the 17/9/5/3-tap scale filters) runs BOTH separable filter
+passes on the MXU as banded matmuls — the LANE pass as lane-aligned 128-wide
+tiles against one shared (384, 128) band matrix (``_filt_lanes_mxu``), the
+SUBLANE pass as one block-diagonal banded matmul over the five moment inputs
+stacked along sublanes (which also restricts statistics to the strip's valid
+rows). The next scale's pre-decimation filter fuses its 2x row decimation
+into its own band matrix. The original VPU formulation (85 `pltpu.roll`s
+per pass) was roll-overhead-bound at ~1.2 ms/frame.
 
-Layout rules honored (see CLAUDE.md): only static-shift `pltpu.roll` for
-lane offsets, no lane-splitting reshapes (lane decimation uses a
-0/1 selection matmul on the MXU), lane-aligned output blocks.
+Layout rules honored (see CLAUDE.md): no lane-splitting reshapes (lane
+decimation uses a 0/1 selection matmul on the MXU), lane-aligned slices and
+output blocks, DMA row slices padded to the sublane tiling.
 
 Border handling matches `vmaf.filters` (scipy-'mirror' reflection): the host
 wrapper reflect-pads by the filter half-width on both axes, so in-kernel
@@ -54,31 +56,70 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _filt_lanes(x, taps, lanes_total):
-    acc = None
-    for t, w in enumerate(taps):
-        sh = (lanes_total - t) % lanes_total
-        term = float(w) * (pltpu.roll(x, sh, axis=1) if sh else x)
-        acc = term if acc is None else acc + term
-    return acc
+def _filt_lanes_mxu(x2, taps, off, wq):
+    """Lane-axis FIR filter as tiled banded matmuls on the MXU.
+
+    ``x2`` is the input with a 128-lane zero block prepended (data for padded
+    lane j lives at x2 lane 128 + j), width 128 + wq + 128. Output lane
+    j = 128*b + jj (j in [0, wq)) needs input lanes [j + off, j + off + k),
+    all inside the lane-aligned 3-block slice x2[:, 128*b : 128*b + 384]
+    (jj <= 127, off + k - 1 <= 2*halo <= 16 < 256). One (384, 128) band
+    matrix shared by every block; 17 VPU rolls over the full array become
+    wq/128 tiny MXU matmuls (~5x less VPU work — the rolls dominated the
+    kernel, measured 1.2 ms/frame at 1080p).
+    """
+    k = len(taps)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 1)
+    dlane = l_ids - (128 + j_ids + off)
+    m = None
+    for t, wgt in enumerate(taps):
+        term = jnp.where(dlane == t, float(wgt), 0.0)
+        m = term if m is None else m + term
+    blocks = []
+    for b in range(wq // 128):
+        sl = x2[:, 128 * b : 128 * b + 384]
+        blocks.append(
+            jnp.dot(
+                sl, m,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    return jnp.concatenate(blocks, axis=1)
 
 
-def _vif0_kernel(
-    ref_hbm, dis_hbm, out_nd_ref, dec_ref_out, dec_dis_out,
-    rbuf, dbuf, sem_r, sem_d,
-    *, strip: int, h: int, w: int, wq: int,
+def _vif_scale_kernel(
+    ref_hbm, dis_hbm, *refs,
+    strip: int, h: int, w: int, wq: int,
+    taps_stats, taps_dec, halo: int,
 ):
     """Grid (B, n_strips). Strip s covers output rows [s*strip, (s+1)*strip).
 
-    Inputs are reflect-padded by HALO on both axes on the host: padded row r
-    corresponds to original row r - HALO; the strip needs padded rows
-    [s*strip, s*strip + strip + 2*HALO). When H is not a multiple of the
+    Generic over the VIF scale: ``taps_stats`` is the scale's Gaussian
+    moment-filter (17/9/5/3 taps for scales 0-3), ``taps_dec`` the NEXT
+    scale's pre-decimation filter (or None at the last scale, which then
+    emits no decimated outputs), ``halo`` = len(taps_stats)//2.
+
+    Inputs are reflect-padded on the host: lanes by ``halo``, rows by
+    ``halo_pad = round_up(halo, 4)`` (Mosaic requires DMA row slices aligned
+    to the sublane tiling of 8; strip is a multiple of 8, so the row halo is
+    rounded so ``rows = strip + 2*halo_pad`` stays aligned — the extra
+    ``halo_pad - halo`` rows are reflect fill the band matrices simply skip).
+    Padded row r corresponds to original row r - halo_pad; the strip needs
+    padded rows [s*strip, s*strip + rows). When H is not a multiple of the
     strip size (e.g. 1080 = 67*16 + 8), the host edge-pads the bottom and the
     last strip masks its num/den sums to the ``h - s*strip`` valid rows.
     """
+    if taps_dec is not None:
+        out_nd_ref, dec_ref_out, dec_dis_out, rbuf, dbuf, sem_r, sem_d = refs
+    else:
+        out_nd_ref, rbuf, dbuf, sem_r, sem_d = refs
     i = pl.program_id(0)
     s = pl.program_id(1)
-    rows = strip + 2 * HALO
+    halo_pad = _round_up(halo, 4)
+    row_off = halo_pad - halo  # first row of an output-row window
+    rows = strip + 2 * halo_pad
 
     dma_r = pltpu.make_async_copy(
         ref_hbm.at[i, pl.ds(s * strip, rows), :], rbuf, sem_r
@@ -94,27 +135,28 @@ def _vif0_kernel(
     r = rbuf[...]
     d = dbuf[...]
 
-    # --- 17-tap separable moment filters -----------------------------------
+    # --- separable moment filters ------------------------------------------
     # Lane pass: after it, lane j holds the filtered value centered at
-    # original column j (window [j-8, j+8] in padded coords [j, j+16]). The
-    # five moment inputs are STACKED along sublanes so the 17 `pltpu.roll`s
-    # run once over a (5*rows, wq) array instead of 85 rolls over five
-    # (rows, wq) arrays (VPU work is the same per element, but per-op roll
-    # overhead dominates at this size — measured ~35% kernel time).
-    # Sublane pass: ONE block-diagonal banded matmul on the MXU replaces the
-    # 85 sublane rolls AND restricts output to the strip's valid rows (the
-    # roll version computed statistics on all `rows` sublanes and masked
-    # half of them away).
+    # original column j (window [j-halo, j+halo] in padded coords
+    # [j, j+2*halo]). The five moment inputs are STACKED along sublanes so
+    # the k `pltpu.roll`s run once over a (5*rows, wq) array instead of 5k
+    # rolls over five (rows, wq) arrays (VPU work is the same per element,
+    # but per-op roll overhead dominates at this size — measured ~35% kernel
+    # time). Sublane pass: ONE block-diagonal banded matmul on the MXU
+    # replaces the 5k sublane rolls AND restricts output to the strip's
+    # valid rows (the roll version computed statistics on all `rows`
+    # sublanes and masked half of them away).
     stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
-    lane_f = _filt_lanes(stacked, TAPS17, wq)
+    lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq)
 
-    # M[o, l] = taps[t] where l = (o//strip)*rows + (o%strip) + t: for output
-    # row x of moment m, the 17-tap window over its own stacked segment.
+    # M[o, l] = taps[t] where l = (o//strip)*rows + (o%strip) + row_off + t:
+    # for output row x of moment m, the k-tap window over its own stacked
+    # segment (row_off skips the sublane-alignment fill rows).
     o_ids = jax.lax.broadcasted_iota(jnp.int32, (5 * strip, 5 * rows), 0)
     l_ids = jax.lax.broadcasted_iota(jnp.int32, (5 * strip, 5 * rows), 1)
-    dband = l_ids - ((o_ids // strip) * rows + o_ids % strip)
+    dband = l_ids - ((o_ids // strip) * rows + o_ids % strip + row_off)
     mband = None
-    for t, wgt in enumerate(TAPS17):
+    for t, wgt in enumerate(taps_stats):
         term = jnp.where(dband == t, float(wgt), 0.0)
         mband = term if mband is None else mband + term
     mom = jnp.dot(
@@ -159,32 +201,31 @@ def _vif0_kernel(
     packed = jnp.where(lane == 0, num_sum, jnp.where(lane == 1, den_sum, 0.0))
     out_nd_ref[0, s, :] = packed[0]
 
-    # --- 9-tap filter + 2x decimation for scale 1 --------------------------
-    # The 9-tap window center must align with the 17-tap padding: original
-    # column j sits at padded lane j + HALO, so shift the tap start by
-    # HALO - 4 (= 8 - 9//2).
-    off = HALO - len(TAPS9) // 2
+    # --- next-scale filter + 2x decimation ---------------------------------
+    if taps_dec is None:
+        return
+    # The dec window center must align with the padding: original column j
+    # sits at padded lane j + halo (row r at padded row r + halo_pad), so
+    # shift the tap start accordingly per axis.
+    off = halo - len(taps_dec) // 2
+    off_row = halo_pad - len(taps_dec) // 2
 
-    # Lane pass over both streams stacked (9 rolls on (2*rows, wq)), then
-    # ONE banded matmul that fuses the 9-tap sublane filter WITH the 2x row
-    # decimation: decimated output row rr of stream m reads its stacked
-    # segment's padded rows [2*rr + off, 2*rr + off + 9). LANE decimation
-    # happens OUTSIDE the kernel (filters.even_lanes, one MXU matmul on the
-    # half-height array): an in-kernel (wq, wd) lane-selection matrix costs
-    # 8 MB of VMEM at 1080p and blew the 16 MB scoped budget.
+    # Lane pass over both streams stacked, then ONE banded matmul that fuses
+    # the sublane filter WITH the 2x row decimation: decimated output row rr
+    # of stream m reads its stacked segment's padded rows
+    # [2*rr + off, 2*rr + off + k). LANE decimation happens OUTSIDE the
+    # kernel (filters.even_lanes, one MXU matmul on the half-height array):
+    # an in-kernel (wq, wd) lane-selection matrix costs 8 MB of VMEM at
+    # 1080p and blew the 16 MB scoped budget.
     rd_stack = jnp.concatenate([r, d], axis=0)
-    lane9 = None
-    for t, wgt in enumerate(TAPS9):
-        sh = (wq - (t + off)) % wq
-        term = float(wgt) * (pltpu.roll(rd_stack, sh, axis=1) if sh else rd_stack)
-        lane9 = term if lane9 is None else lane9 + term
+    lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq)
 
     half = strip // 2
     o9 = jax.lax.broadcasted_iota(jnp.int32, (2 * half, 2 * rows), 0)
     l9 = jax.lax.broadcasted_iota(jnp.int32, (2 * half, 2 * rows), 1)
-    d9 = l9 - ((o9 // half) * rows + 2 * (o9 % half) + off)
+    d9 = l9 - ((o9 // half) * rows + 2 * (o9 % half) + off_row)
     m9 = None
-    for t, wgt in enumerate(TAPS9):
+    for t, wgt in enumerate(taps_dec):
         term = jnp.where(d9 == t, float(wgt), 0.0)
         m9 = term if m9 is None else m9 + term
     # HIGHEST precision: default (bf16-class) matmul precision would round
@@ -198,100 +239,119 @@ def _vif0_kernel(
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = False):
-    """Fused VIF scale 0 over (B, H, W) float/uint8 luma.
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def vif_scale_pallas(
+    ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int, interpret: bool = False
+):
+    """Fused VIF at one scale over (B, H, W) float/uint8 luma.
 
-    Returns (vif_scale0 (B,), dec_ref (B, H/2, W/2), dec_dis (B, H/2, W/2)) —
-    the per-frame scale-0 feature plus scale 1's inputs (9-tap filtered and
-    decimated, identical to `vmaf.filters` semantics).
+    For scales 0-2 returns (vif_scale (B,), dec_ref (B, H/2, W/2),
+    dec_dis (B, H/2, W/2)) — the per-frame feature plus the NEXT scale's
+    inputs (filtered with the next scale's Gaussian and decimated, identical
+    to `vmaf.filters` semantics). For scale 3 returns (vif_scale3, None,
+    None).
 
-    H and W arbitrary (H >= 17 for the reflect halo); a ragged final row
-    strip is masked in-kernel and its decimated tail sliced off.
+    H and W arbitrary (H >= len(taps) for the reflect halo); a ragged final
+    row strip is masked in-kernel and its decimated tail sliced off.
     """
     b, h, w = ref_y.shape
-    strip = 16
+    # Grid-cell count is the kernel's dominant cost at 1080p (~15 us of
+    # Mosaic grid + DMA-issue overhead per cell; the filter math itself runs
+    # on the MXU and is nearly free) — use the largest strip VMEM affords.
+    strip = 32 if h >= 32 else 16
+    n_stats = 2 ** (4 - scale) + 1
+    halo = n_stats // 2
+    taps_stats = tuple(float(v) for v in gaussian_kernel(n_stats, n_stats / 5.0))
+    if scale < 3:
+        n_dec = 2 ** (3 - scale) + 1
+        taps_dec = tuple(float(v) for v in gaussian_kernel(n_dec, n_dec / 5.0))
+    else:
+        taps_dec = None
     ref = ref_y.astype(jnp.float32)
     dis = dis_y.astype(jnp.float32)
 
     n_strips = -(-h // strip)  # ceil: last strip ragged when h % 16 != 0
     h_pad = n_strips * strip
-    wq = _round_up(w + 2 * HALO, 128)
-    pad_rows = ((0, 0), (HALO, HALO), (0, 0))
-    pad_cols_reflect = ((0, 0), (0, 0), (HALO, HALO))
+    halo_pad = _round_up(halo, 4)  # sublane-aligned DMA row slices
+    wq = _round_up(w + 2 * halo, 128)
+    pad_rows = ((0, 0), (halo_pad, halo_pad), (0, 0))
+    pad_cols_reflect = ((0, 0), (0, 0), (halo, halo))
 
     def prep(x):
         x = jnp.pad(x, pad_cols_reflect, mode="reflect")
         x = jnp.pad(x, pad_rows, mode="reflect")
         # Bottom edge-fill for the ragged strip (consumed only by masked-out
         # rows) + lane round-up.
-        return jnp.pad(
-            x, ((0, 0), (0, h_pad - h), (0, wq - w - 2 * HALO)), mode="edge"
+        x = jnp.pad(
+            x, ((0, 0), (0, h_pad - h), (0, wq - w - 2 * halo)), mode="edge"
         )
+        # One extra 128-lane block on each side for the MXU lane filter's
+        # lane-aligned 3-block slices (see _filt_lanes_mxu).
+        return jnp.pad(x, ((0, 0), (0, 0), (128, 128)))
 
     ref_p = prep(ref)
     dis_p = prep(dis)
 
-    rows = strip + 2 * HALO
+    rows = strip + 2 * halo_pad
+    nd_shape = jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32)
+    nd_spec = pl.BlockSpec(
+        (1, n_strips, 128), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    dec_shape = jax.ShapeDtypeStruct((b, n_strips * strip // 2, wq), jnp.float32)
+    dec_spec = pl.BlockSpec(
+        (1, strip // 2, wq), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM
+    )
 
-    out_nd, dec_ref, dec_dis = pl.pallas_call(
-        functools.partial(_vif0_kernel, strip=strip, h=h, w=w, wq=wq),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_strips * strip // 2, wq), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_strips * strip // 2, wq), jnp.float32),
+    outs = pl.pallas_call(
+        functools.partial(
+            _vif_scale_kernel, strip=strip, h=h, w=w, wq=wq,
+            taps_stats=taps_stats, taps_dec=taps_dec, halo=halo,
         ),
+        out_shape=(nd_shape, dec_shape, dec_shape) if taps_dec else (nd_shape,),
         grid=(b, n_strips),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strip // 2, wq), lambda i, s: (i, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strip // 2, wq), lambda i, s: (i, s, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(nd_spec, dec_spec, dec_spec) if taps_dec else (nd_spec,),
         scratch_shapes=[
-            pltpu.VMEM((rows, wq), jnp.float32),
-            pltpu.VMEM((rows, wq), jnp.float32),
+            pltpu.VMEM((rows, wq + 256), jnp.float32),
+            pltpu.VMEM((rows, wq + 256), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(ref_p, dis_p)
 
+    out_nd = outs[0]
     num = jnp.sum(out_nd[..., 0], axis=-1)
     den = jnp.sum(out_nd[..., 1], axis=-1)
-    vif0 = num / jnp.maximum(den, _EPS)
+    vif = num / jnp.maximum(den, _EPS)
+    if taps_dec is None:
+        return vif, None, None
     # Kernel outputs are row-decimated, full padded width; finish with the
     # lane decimation (one MXU selection matmul on the half-height array).
     hd = (h + 1) // 2  # decimate2 keeps even indices
     from rtvqa_tpu.vmaf.filters import even_lanes
 
-    dr = even_lanes(dec_ref[:, :hd, :w])
-    dd = even_lanes(dec_dis[:, :hd, :w])
-    return vif0, dr, dd
+    dr = even_lanes(outs[1][:, :hd, :w])
+    dd = even_lanes(outs[2][:, :hd, :w])
+    return vif, dr, dd
+
+
+def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = False):
+    """Fused VIF scale 0 (see ``vif_scale_pallas``)."""
+    return vif_scale_pallas(ref_y, dis_y, 0, interpret=interpret)
 
 
 def vif_features_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """VIF at 4 scales with the fused Pallas scale-0; scales 1-3 in XLA
-    (quarter-size and cheap). Matches `vmaf.vif.vif_features`."""
-    from rtvqa_tpu.vmaf.vif import _vif_scale_stats
-
+    """VIF at 4 scales, every scale as the fused Pallas kernel (the XLA
+    slice-chain filters at scales 1-3 cost ~2x the scale-0 kernel in HBM
+    traffic despite the smaller frames). Matches `vmaf.vif.vif_features`."""
     interpret = jax.default_backend() == "cpu"
-    vif0, ref, dis = vif_scale0_pallas(ref_y, dis_y, interpret=interpret)
-    out = {"vif_scale0": vif0}
-    for scale in range(1, 4):
-        n = 2 ** (4 - scale) + 1
-        taps = gaussian_kernel(n, n / 5.0)
-        if scale > 1:
-            from rtvqa_tpu.vmaf.filters import decimate2, filter1d_sep
-
-            ref = decimate2(filter1d_sep(ref, taps))
-            dis = decimate2(filter1d_sep(dis, taps))
-        num, den = _vif_scale_stats(ref, dis, gaussian_kernel(n, n / 5.0))
-        out[f"vif_scale{scale}"] = num / jnp.maximum(den, _EPS)
+    out = {}
+    ref, dis = ref_y, dis_y
+    for scale in range(4):
+        v, ref, dis = vif_scale_pallas(ref, dis, scale, interpret=interpret)
+        out[f"vif_scale{scale}"] = v
     return out

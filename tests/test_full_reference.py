@@ -117,3 +117,30 @@ def test_streaming_motion_chunk_boundary(pair):
     )
     assert a["per_frame"]["motion2"][0] == 0.0
     assert np.any(a["per_frame"]["motion2"][1:] > 0)
+
+
+def test_program_chunk_matches_split(rng):
+    """The fused per-chunk program (TPU dispatch path) must equal the split
+    A/B programs (CPU dispatch path) row for row."""
+    from rtvqa_tpu.metrics.full_reference import (
+        CHUNK_KEYS, _program_a, _program_b, _program_chunk,
+    )
+
+    n, h, w = 6, 32, 48
+    ry = rng.integers(0, 256, (n, h, w), np.uint8)
+    ru = rng.integers(0, 256, (n, h // 2, w // 2), np.uint8)
+    rv = rng.integers(0, 256, (n, h // 2, w // 2), np.uint8)
+    dy = np.clip(
+        ry.astype(np.int16) + rng.integers(-9, 10, ry.shape), 0, 255
+    ).astype(np.uint8)
+    zb = np.zeros((h, w), np.float32)
+
+    packed, blur = _program_chunk(ry, ru, rv, dy, ru, rv, zb, True)
+    pa, blur_a = _program_a(ry, ru, rv, dy, ru, rv, zb, True)
+    pb = _program_b(ry, dy)
+    assert np.asarray(packed).shape == (len(CHUNK_KEYS), n)
+    np.testing.assert_allclose(
+        np.asarray(packed), np.concatenate([np.asarray(pa), np.asarray(pb)]),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(np.asarray(blur), np.asarray(blur_a), rtol=1e-6)

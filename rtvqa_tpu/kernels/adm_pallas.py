@@ -50,7 +50,7 @@ from rtvqa_tpu.vmaf.adm import (
     _COS_1DEG_SQ,
     _center_crop_slices,
     adm_finalize,
-    adm_one_scale,
+
     csf_rfactors,
 )
 
@@ -224,14 +224,19 @@ def _adm0_kernel(
     adis_out[0, :, :] = ta[1 : STRIP + 1]
 
 
-@functools.partial(jax.jit, static_argnames=("egl", "interpret"))
-def adm_scale0_pallas(
-    ref_y: jnp.ndarray, dis_y: jnp.ndarray, egl=None, interpret: bool = False
+@functools.partial(jax.jit, static_argnames=("scale", "egl", "interpret"))
+def adm_scale_pallas(
+    ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int = 0,
+    egl=None, interpret: bool = False,
 ):
-    """Fused ADM scale 0 over (B, H, W) luma.
+    """Fused ADM at one scale over (B, H, W) luma (the scale's approximation
+    band — the original luma at scale 0).
 
-    Returns (num0 (B,), den0 (B,), a_ref (B, H2, W2), a_dis (B, H2, W2)):
-    scale 0's pooling contributions (offsets included) and scale 1's inputs.
+    The db2 DWT taps are scale-invariant; only the Watson CSF weights and
+    the input size change per level, so one kernel serves all four scales.
+    Returns (num (B,), den (B,), a_ref (B, H2, W2), a_dis (B, H2, W2)):
+    this scale's pooling contributions (offsets included) and the next
+    scale's inputs.
     """
     b, h, w = ref_y.shape
     h2, w2 = (h + 1) // 2, (w + 1) // 2
@@ -254,7 +259,7 @@ def adm_scale0_pallas(
     top, left = ys.start, xs.start
     area = (ys.stop - ys.start) * (xs.stop - xs.start)
     offset = (area / 32.0) ** (1.0 / 3.0)
-    fh, _, fd = csf_rfactors(0)
+    fh, _, fd = csf_rfactors(scale)  # fh == fv at every scale
 
     sums, a_ref, a_dis = pl.pallas_call(
         functools.partial(
@@ -310,17 +315,26 @@ def adm_scale0_pallas(
     return num0, den0, ar, ad
 
 
+def adm_scale0_pallas(
+    ref_y: jnp.ndarray, dis_y: jnp.ndarray, egl=None, interpret: bool = False
+):
+    """Fused ADM scale 0 (see ``adm_scale_pallas``)."""
+    return adm_scale_pallas(ref_y, dis_y, 0, egl=egl, interpret=interpret)
+
+
 def adm_features_pallas(
     ref_y: jnp.ndarray, dis_y: jnp.ndarray, enhn_gain_limit=None
 ) -> dict[str, jnp.ndarray]:
-    """adm2 with the fused Pallas scale-0 kernel; scales 1-3 in XLA
-    (quarter-size and cheap). Matches ``vmaf.adm.adm_features``."""
+    """adm2 with every DWT level as the fused Pallas kernel (the XLA levels
+    materialize ~20 HBM intermediates each even at quarter size). Matches
+    ``vmaf.adm.adm_features``."""
     interpret = jax.default_backend() == "cpu"
-    num, den, o, t = adm_scale0_pallas(
-        ref_y, dis_y, egl=enhn_gain_limit, interpret=interpret
-    )
-    for scale in range(1, 4):
-        o, t, n_s, d_s = adm_one_scale(o, t, scale, enhn_gain_limit)
+    num = den = 0.0
+    o, t = ref_y, dis_y
+    for scale in range(4):
+        n_s, d_s, o, t = adm_scale_pallas(
+            o, t, scale, egl=enhn_gain_limit, interpret=interpret
+        )
         num = num + n_s
         den = den + d_s
     return {"adm2": adm_finalize(num, den, ref_y.shape)}

@@ -8,8 +8,10 @@ threshold and the pooling powers — ~20 HBM-resident arrays per frame pair.
 This kernel streams row strips of both lumas through VMEM and writes only:
 
 * six partial pooling sums per strip (num/den per band, pre-cube-root);
-* the approximation bands a_ref/a_dis (quarter-size inputs of scale 1 —
-  scales 1-3 stay in XLA where they are cheap).
+* the approximation bands a_ref/a_dis (the next level's quarter-size
+  inputs). The db2 taps are scale-invariant, so the same kernel runs ALL
+  four DWT levels (only the Watson CSF weights and input size change);
+  ``adm_features_pallas`` chains it level to level.
 
 Per-strip dataflow (everything in VMEM):
 

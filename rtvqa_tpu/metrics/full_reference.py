@@ -5,22 +5,23 @@ The reference runs one ffmpeg subprocess evaluating psnr, ssim and libvmaf
 filter chains over both videos in a single decode pass
 (``video_processing.py:270-297``). This is the TPU-native equivalent: both
 videos stream through the native decoder in lockstep batches (prefetched on a
-background thread — host decode overlaps device compute) and two jitted
-programs compute every per-frame quantity:
+background thread — host decode overlaps device compute) and per chunk the
+engine computes every per-frame quantity from two building blocks:
 
 * **program A** (cheap): PSNR plane MSEs (vf_psnr semantics), SSIM Y/U/V/All
   (x264 algorithm), and blurred-luma SADs for VMAF motion/motion2 (a carried
   blurred frame stitches chunk boundaries);
-* **program B** (filter-heavy): VIF scales 0-3 (fused Pallas scale-0 kernel
-  on TPU) + ADM2, on the same full chunk.
+* **program B** (filter-heavy): VIF scales 0-3 + ADM2 — on TPU every scale
+  of both runs as fused Pallas kernels (kernels.vif_pallas /
+  kernels.adm_pallas).
 
-Splitting matters twice on this hardware: each program's peak HBM stays
-under the compile-time budget at a larger batch (amortizing the tunnel's
-fixed ~40 ms per-call cost), and each call returns ONE packed array — one
-device→host fetch (every fetched array costs a full RPC round trip). The
-programs are dispatched strictly serialized (A materialized before B starts)
-because concurrent residency of two near-ceiling programs can crash the
-remote worker.
+On TPU the two are dispatched as ONE fused program per chunk
+(``_program_chunk``): one dispatch + one packed fetch per chunk (every
+fetched array costs a full RPC round trip through the tunnel), and a single
+XLA executable schedules the phases sequentially — no concurrent residency
+of two near-HBM-ceiling programs (which can crash the remote worker). On
+CPU the split A/B dispatch is kept: there are no RPCs to save and the merged
+module compiles several times slower on the single host core.
 
 Per-frame scalars return to the host; pooling (mean MSE → PSNR, mean SSIM,
 per-frame SVR → mean VMAF) happens at the end. Device memory stays bounded
@@ -129,7 +130,7 @@ def _program_chunk(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
 def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
     """Frames per stream chunk (one fused program call), scaled to resolution.
 
-    With the fused Pallas VIF and ADM scale-0 kernels (round 2), the quality
+    With the fused Pallas VIF and ADM kernels (round 2), the quality
     program's HBM peak dropped enough that the merged chunk program compiles
     at 128 simultaneous 1080p frames; 64 balances that against host decode
     latency and RAM. Larger chunks amortize the tunnel's ~40 ms fixed cost

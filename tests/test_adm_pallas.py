@@ -65,6 +65,20 @@ def test_adm_features_pallas_full(rng):
     assert ident == pytest.approx(1.0, abs=1e-4)
 
 
+def test_adm_features_pallas_tall_strips(rng):
+    """Tall narrow frames exercise the round-3 adaptive strip sizes
+    (w < 640 -> up to 128 subband rows per cell, ragged last strip)."""
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+    from rtvqa_tpu.vmaf.adm import adm_features
+
+    ref, dis = make_pair(rng, b=1, h=280, w=256)
+    got = adm_features_pallas(ref, dis)
+    expected = adm_features(ref, dis)
+    np.testing.assert_allclose(
+        np.asarray(got["adm2"]), np.asarray(expected["adm2"]), rtol=3e-4
+    )
+
+
 def test_adm_features_pallas_neg_gain_limit(rng):
     from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
 

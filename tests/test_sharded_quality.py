@@ -79,6 +79,34 @@ def test_sharded_full_reference_uneven_frames_matches_streaming(tmp_path):
         )
 
 
+def test_sharded_streaming_multi_chunk_matches_streaming(tmp_path):
+    """VERDICT r2 weak #3 / next #5: the sharded engine streams in chunks —
+    a clip LONGER than the chunk (21 frames, chunk 8 on an 8-device mesh →
+    3 chunks, ragged tail, blur carry crossing both chunk AND shard
+    boundaries) must match the single-device streaming engine exactly."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rtvqa_tpu.metrics.full_reference import analyze_full_reference
+    from rtvqa_tpu.pipeline.quality_sharded import analyze_full_reference_sharded
+
+    ref, dis = _make_clip_pair(tmp_path)
+    sharded = analyze_full_reference_sharded(ref, dis, chunk=8)
+    streaming = analyze_full_reference(ref, dis, chunk=4)
+
+    assert sharded["n_frames"] == streaming["n_frames"] == 21
+    assert sharded["psnr"] == pytest.approx(streaming["psnr"], abs=1e-4)
+    assert sharded["ssim"] == pytest.approx(streaming["ssim"], abs=1e-6)
+    np.testing.assert_allclose(
+        sharded["per_frame"]["motion2"], streaming["per_frame"]["motion2"],
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in ("vif_scale0", "vif_scale3", "adm2"):
+        np.testing.assert_allclose(
+            sharded["per_frame"][k], streaming["per_frame"][k],
+            rtol=2e-4, atol=1e-5,
+        )
+
+
 @pytest.mark.parametrize("n_devices", [3, 5])
 def test_sharded_full_reference_odd_mesh_sizes(tmp_path, n_devices):
     """Mesh sizes that don't divide the frame count either way."""

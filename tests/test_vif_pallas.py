@@ -76,6 +76,45 @@ def test_vif_features_pallas_ragged_all_scales(rng):
         )
 
 
+def test_vif_features_pallas_tall_strips(rng):
+    """Narrow frames use 64/128-row strips (round-3 adaptive strip sizing);
+    cover the taller-strip kernels incl. a ragged last strip."""
+    from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+
+    ref, dis = make_pair(rng, b=1, h=140, w=256)
+    got = vif_features_pallas(ref, dis)
+    expected = vif_features(ref, dis)
+    for k in range(4):
+        np.testing.assert_allclose(
+            np.asarray(got[f"vif_scale{k}"]),
+            np.asarray(expected[f"vif_scale{k}"]),
+            rtol=3e-4,
+        )
+
+
+def test_vif_pallas_neg_gain_limit(rng):
+    """NEG mode (vif_enhn_gain_limit) inside the fused kernel matches the XLA
+    formulation, and actually bites on enhanced content (ADVICE r2 #1)."""
+    from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+
+    ref = rng.integers(40, 200, (2, 56, 70)).astype(np.float32)
+    # Contrast enhancement: gain > 1 windows everywhere, so the cap matters.
+    dis = np.clip((ref - 128.0) * 1.4 + 128.0 + rng.normal(0, 2, ref.shape), 0, 255)
+    dis = dis.astype(np.float32)
+    got = vif_features_pallas(ref, dis, enhn_gain_limit=1.0)
+    expected = vif_features(ref, dis, enhn_gain_limit=1.0)
+    uncapped = vif_features(ref, dis)
+    for k in range(4):
+        np.testing.assert_allclose(
+            np.asarray(got[f"vif_scale{k}"]),
+            np.asarray(expected[f"vif_scale{k}"]),
+            rtol=3e-4,
+        )
+    assert np.asarray(got["vif_scale0"]).mean() < np.asarray(
+        uncapped["vif_scale0"]
+    ).mean() - 1e-3
+
+
 def test_vif_features_pallas_identity(rng):
     from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 

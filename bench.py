@@ -384,6 +384,11 @@ def run_validate(out_path: str) -> int:
         check(f"motion/{label}", mp, mx, 1e-6)
 
         # Fused VIF0+PSNR+SSIM+motion kernel (round 3) vs the XLA programs.
+        # 1080p-class only: >2048-wide frames exceed the kernel's VMEM budget
+        # and production routes them to the split composition
+        # (metrics.full_reference._chunk_fused_tpu).
+        if w > 2048:
+            continue
         from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
         from rtvqa_tpu.metrics.quality import psnr_frames, ssim_frames
         from rtvqa_tpu.vmaf.filters import filter1d_sep

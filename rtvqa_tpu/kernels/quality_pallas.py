@@ -176,13 +176,12 @@ def _fused_q_kernel(
     rbuf, dbuf, cbufs, pblur_buf, blur_prev,
     sem_r, sem_d, sem_c, sem_p,
     *, h: int, w: int, wq: int, wq_b: int, h2: int, w2: int,
-    n_tiles_y: int, n_tiles_c: int, taps_stats, taps_dec, egl,
+    n_tiles_y: int, n_tiles_c: int, taps_stats, taps_dec, egl, strip: int,
 ):
     """Grid (n_strips, B) — strip-major, frame-minor (the blur_prev scratch
     carries frame i-1's blurred strip into cell (s, i))."""
     s = pl.program_id(0)
     i = pl.program_id(1)
-    strip = STRIP
     halo = HALO
     halo_pad = _round_up(halo, 4)
     rows = strip + 2 * halo_pad  # 48
@@ -245,6 +244,8 @@ def _fused_q_kernel(
     # SSIM row pooling: out row o = m * 16 + br (m in 0..3, br in 0..8 used)
     # sums 4 buffer rows of the stacked segment(s) of moment m; moment 2 is
     # r^2 + d^2 (ones in two segments).
+    nbr_y = strip // 4  # window rows per strip (block rows minus halo)
+
     def _ssim_row_band():
         shape = (64, 5 * rows)
         o_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -255,9 +256,9 @@ def _fused_q_kernel(
         base = seg_of_m * rows + halo_pad + 4 * br
         band = None
         for t in range(4):
-            hit = (l_ids == base + t) & (br <= 8)
+            hit = (l_ids == base + t) & (br <= nbr_y)
             # moment 2 also sums segment 3 (d*d)
-            hit2 = (m_ids == 2) & (l_ids == base + rows + t) & (br <= 8)
+            hit2 = (m_ids == 2) & (l_ids == base + rows + t) & (br <= nbr_y)
             term = jnp.where(hit | hit2, 1.0, 0.0)
             band = term if band is None else band + term
         return band
@@ -270,7 +271,7 @@ def _fused_q_kernel(
     win_y = bs_y + _roll2(bs_y, -1, 0)
     win_y = win_y + _roll2(win_y, 0, -1)
     ssim_y_sum = _ssim_from_windows(
-        win_y, 16, 8, 8 * s, h // 4 - 1, w // 4 - 1
+        win_y, 16, nbr_y, nbr_y * s, h // 4 - 1, w // 4 - 1
     )
 
     # --- program A, chroma: SSE + SSIM for U and V --------------------------
@@ -286,6 +287,8 @@ def _fused_q_kernel(
          cv_r, cv_d, cv_r * cv_r + cv_d * cv_d, cv_r * cv_d], axis=0
     )
 
+    nbr_c = cstrip // 4
+
     def _ssim_row_band_c():
         shape = (64, 8 * crows)
         o_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -295,7 +298,7 @@ def _fused_q_kernel(
         base = m_ids * crows + 4 * br
         band = None
         for t in range(4):
-            term = jnp.where((l_ids == base + t) & (br <= 4), 1.0, 0.0)
+            term = jnp.where((l_ids == base + t) & (br <= nbr_c), 1.0, 0.0)
             band = term if band is None else band + term
         return band
 
@@ -307,10 +310,10 @@ def _fused_q_kernel(
     win_c = bs_c + _roll2(bs_c, -1, 0)
     win_c = win_c + _roll2(win_c, 0, -1)
     ssim_u_sum = _ssim_from_windows(
-        win_c[0:32], 8, 4, 4 * s, h2 // 4 - 1, w2 // 4 - 1
+        win_c[0:32], 8, nbr_c, nbr_c * s, h2 // 4 - 1, w2 // 4 - 1
     )
     ssim_v_sum = _ssim_from_windows(
-        win_c[32:64], 8, 4, 4 * s, h2 // 4 - 1, w2 // 4 - 1
+        win_c[32:64], 8, nbr_c, nbr_c * s, h2 // 4 - 1, w2 // 4 - 1
     )
 
     # --- VIF scale 0 (kernels.vif_pallas dataflow, verbatim) ----------------
@@ -414,7 +417,10 @@ def quality_fused_pallas(
     """
     b, h, w = ry.shape
     h2, w2 = ru.shape[-2], ru.shape[-1]
-    strip = STRIP
+    # VMEM scales with strip x padded width: 32 rows fits 1080p-class widths
+    # in the 16 MB scoped budget, 4K needs 16-row strips (measured: 22.2 MB
+    # at strip 32 / 3840 lanes).
+    strip = STRIP if w <= 2048 else STRIP // 2
     halo = HALO
     halo_pad = _round_up(halo, 4)
     n_strips = -(-h // strip)
@@ -478,7 +484,7 @@ def quality_fused_pallas(
         functools.partial(
             _fused_q_kernel, h=h, w=w, wq=wq, wq_b=wq_b, h2=h2, w2=w2,
             n_tiles_y=n_tiles_y, n_tiles_c=n_tiles_c,
-            taps_stats=taps_stats, taps_dec=taps_dec, egl=egl,
+            taps_stats=taps_stats, taps_dec=taps_dec, egl=egl, strip=strip,
         ),
         out_shape=(out_shape, dec_shape, dec_shape, blur_shape),
         grid=(n_strips, b),

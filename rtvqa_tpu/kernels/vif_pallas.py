@@ -49,17 +49,18 @@ _EPS = 1e-10
 
 # Precision of the banded FILTER matmuls (Gaussian moment windows, the
 # pre-decimation filters, ADM's db2 bands). HIGHEST = 6-pass bf16 on the MXU
-# (f32-exact, the default); HIGH = 3-pass (~2x MXU throughput on the
-# matmul-bound kernels, relative feature error ~1e-4 — far inside VMAF's 0.1
-# score budget; see BASELINE.md). The SSIM pooling matmuls in
-# kernels.quality_pallas always stay HIGHEST (their integer exactness is a
-# correctness guarantee, and they are a small share of the MXU work).
+# (f32-exact) is the default and the only fully-supported fast-math
+# alternative is DEFAULT (1-pass bf16 — too coarse for the VIF statistics'
+# mu^2 cancellation; measured unusable). Mosaic's dot lowering does NOT
+# implement Precision.HIGH (3-pass), so requests for it coerce to HIGHEST.
+# The SSIM pooling matmuls in kernels.quality_pallas always stay HIGHEST
+# (their integer exactness is a correctness guarantee).
 import os as _os
 
-FILTER_PRECISION = getattr(
-    jax.lax.Precision,
-    _os.environ.get("RTVQA_FILTER_PRECISION", "HIGHEST").upper(),
-)
+_prec_name = _os.environ.get("RTVQA_FILTER_PRECISION", "HIGHEST").upper()
+if _prec_name not in ("DEFAULT", "HIGHEST"):
+    _prec_name = "HIGHEST"
+FILTER_PRECISION = getattr(jax.lax.Precision, _prec_name)
 
 TAPS17 = gaussian_kernel(17, 17 / 5.0).astype(np.float32)
 TAPS9 = gaussian_kernel(9, 9 / 5.0).astype(np.float32)

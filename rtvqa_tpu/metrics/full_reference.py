@@ -130,6 +130,15 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
     from rtvqa_tpu.kernels.vif_pallas import vif_scale_pallas
 
+    if ry.shape[-1] > 2048:
+        # 4K-class widths exceed the fused kernel's 16 MB VMEM budget even at
+        # 16-row strips (measured 17.0 MB at 3840 lanes) and would need 8-row
+        # strips whose per-cell overhead erases the fusion win — keep the
+        # round-2 composition (XLA program A + fused Pallas VIF/ADM) there.
+        pa, blur = _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev)
+        pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl)
+        return jnp.concatenate([pa, pb], axis=0), blur
+
     fq = quality_fused_pallas(ry, ru, rv, dy, du, dv, prev_blur, egl=vif_egl)
     h, w = ry.shape[-2], ry.shape[-1]
     h2, w2 = ru.shape[-2], ru.shape[-1]

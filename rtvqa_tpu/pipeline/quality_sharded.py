@@ -72,8 +72,9 @@ def analyze_full_reference_sharded(
     probe_d.close()
     if (h, w) != (hd, wd):
         raise ValueError(f"resolution mismatch: {w}x{h} vs {wd}x{hd}")
-    # Per-DEVICE HBM bound ~ auto_chunk; the mesh holds n_shards x that.
-    chunk = auto_chunk(w, h, chunk)
+    # auto_chunk is the per-DEVICE HBM bound; the mesh holds n_shards x that.
+    if chunk is None:
+        chunk = auto_chunk(w, h) * n_shards
     chunk = -(-chunk // n_shards) * n_shards
 
     model = load_model(vmaf_model_path) if vmaf_model_path else None

@@ -51,8 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from rtvqa_tpu.kernels.vif_pallas import (
     _EPS,
     _SIGMA_NSQ,
-    FILTER_PRECISION,
     _filt_lanes_mxu,
+    _filt_rows_mxu,
     _round_up,
 )
 from rtvqa_tpu.vmaf.filters import gaussian_kernel
@@ -318,18 +318,8 @@ def _fused_q_kernel(
 
     # --- VIF scale 0 (kernels.vif_pallas dataflow, verbatim) ----------------
     lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq)
-    o_ids = jax.lax.broadcasted_iota(jnp.int32, (5 * strip, 5 * rows), 0)
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (5 * strip, 5 * rows), 1)
     row_off = halo_pad - halo
-    dband = l_ids - ((o_ids // strip) * rows + o_ids % strip + row_off)
-    mband = None
-    for t, wgt in enumerate(taps_stats):
-        term = jnp.where(dband == t, float(wgt), 0.0)
-        mband = term if mband is None else mband + term
-    mom = jnp.dot(
-        mband, lane_f,
-        preferred_element_type=jnp.float32, precision=FILTER_PRECISION,
-    )
+    mom = _filt_rows_mxu(lane_f, taps_stats, 5, strip, rows, 1, row_off)
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -370,17 +360,7 @@ def _fused_q_kernel(
     rd_stack = jnp.concatenate([r, d], axis=0)
     lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq)
     half = strip // 2
-    o9 = jax.lax.broadcasted_iota(jnp.int32, (2 * half, 2 * rows), 0)
-    l9 = jax.lax.broadcasted_iota(jnp.int32, (2 * half, 2 * rows), 1)
-    d9 = l9 - ((o9 // half) * rows + 2 * (o9 % half) + off_row)
-    m9 = None
-    for t, wgt in enumerate(taps_dec):
-        term = jnp.where(d9 == t, float(wgt), 0.0)
-        m9 = term if m9 is None else m9 + term
-    dec = jnp.dot(
-        m9, lane9,
-        preferred_element_type=jnp.float32, precision=FILTER_PRECISION,
-    )
+    dec = _filt_rows_mxu(lane9, taps_dec, 2, half, rows, 2, off_row)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 

@@ -76,24 +76,27 @@ def _filt_lanes_mxu(x2, taps, off, wq):
 
     ``x2`` is the input with a 128-lane zero block prepended (data for padded
     lane j lives at x2 lane 128 + j), width 128 + wq + 128. Output lane
-    j = 128*b + jj (j in [0, wq)) needs input lanes [j + off, j + off + k),
-    all inside the lane-aligned 3-block slice x2[:, 128*b : 128*b + 384]
-    (jj <= 127, off + k - 1 <= 2*halo <= 16 < 256). One (384, 128) band
-    matrix shared by every block; 17 VPU rolls over the full array become
-    wq/128 tiny MXU matmuls (~5x less VPU work — the rolls dominated the
-    kernel, measured 1.2 ms/frame at 1080p).
+    j = 128*b + jj (j in [0, wq)) needs input lanes [j + off, j + off + k) =
+    x2 lanes [128*(b+1) + jj + off, ...), all inside the lane-aligned 2-block
+    slice x2[:, 128*(b+1) : 128*(b+1) + 256] (jj + off + k - 1 <= 127 + 2 *
+    halo <= 143 < 256). One (256, 128) band matrix shared by every block; 17
+    VPU rolls over the full array become wq/128 tiny MXU matmuls (~5x less
+    VPU work — the rolls dominated the kernel, measured 1.2 ms/frame at
+    1080p). Round 3: the slices were (384, 128) 3-block windows whose first
+    block was structurally unused — 2-block slices cut the lane-pass MXU
+    FLOPs by a third with identical arithmetic.
     """
     k = len(taps)
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 0)
-    j_ids = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 1)
-    dlane = l_ids - (128 + j_ids + off)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+    dlane = l_ids - (j_ids + off)
     m = None
     for t, wgt in enumerate(taps):
         term = jnp.where(dlane == t, float(wgt), 0.0)
         m = term if m is None else m + term
     blocks = []
     for b in range(wq // 128):
-        sl = x2[:, 128 * b : 128 * b + 384]
+        sl = x2[:, 128 * (b + 1) : 128 * (b + 1) + 256]
         blocks.append(
             jnp.dot(
                 sl, m,
@@ -102,6 +105,38 @@ def _filt_lanes_mxu(x2, taps, off, wq):
             )
         )
     return jnp.concatenate(blocks, axis=1)
+
+
+def _filt_rows_mxu(lane_f, taps, n_seg, seg_out, seg_in, stride, off_row):
+    """Sublane-axis FIR (optionally fused with row decimation) as per-segment
+    banded matmuls on the MXU.
+
+    ``lane_f`` stacks ``n_seg`` equal segments of ``seg_in`` sublanes; output
+    row x of segment m is sum_t taps[t] * lane_f[m * seg_in + stride * x +
+    off_row + t]. Returns the (n_seg * seg_out, lanes) stacked outputs.
+
+    Round 3: this replaces a single block-diagonal (n_seg * seg_out,
+    n_seg * seg_in) banded matmul — the off-diagonal blocks were structural
+    zeros, so per-segment (seg_out, seg_in) dots cut the sublane-pass MXU
+    FLOPs n_seg-fold with identical arithmetic (the band is the same for
+    every segment).
+    """
+    o_ids = jax.lax.broadcasted_iota(jnp.int32, (seg_out, seg_in), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (seg_out, seg_in), 1)
+    d = l_ids - (stride * o_ids + off_row)
+    band = None
+    for t, wgt in enumerate(taps):
+        term = jnp.where(d == t, float(wgt), 0.0)
+        band = term if band is None else band + term
+    outs = [
+        jnp.dot(
+            band, lane_f[m * seg_in : (m + 1) * seg_in],
+            preferred_element_type=jnp.float32,
+            precision=FILTER_PRECISION,
+        )
+        for m in range(n_seg)
+    ]
+    return jnp.concatenate(outs, axis=0)
 
 
 def _vif_scale_kernel(
@@ -164,21 +199,10 @@ def _vif_scale_kernel(
     stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
     lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq)
 
-    # M[o, l] = taps[t] where l = (o//strip)*rows + (o%strip) + row_off + t:
-    # for output row x of moment m, the k-tap window over its own stacked
-    # segment (row_off skips the sublane-alignment fill rows).
-    o_ids = jax.lax.broadcasted_iota(jnp.int32, (5 * strip, 5 * rows), 0)
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (5 * strip, 5 * rows), 1)
-    dband = l_ids - ((o_ids // strip) * rows + o_ids % strip + row_off)
-    mband = None
-    for t, wgt in enumerate(taps_stats):
-        term = jnp.where(dband == t, float(wgt), 0.0)
-        mband = term if mband is None else mband + term
-    mom = jnp.dot(
-        mband, lane_f,
-        preferred_element_type=jnp.float32,
-        precision=FILTER_PRECISION,
-    )
+    # Output row x of moment m takes the k-tap window starting at row
+    # x + row_off of its own stacked segment (row_off skips the
+    # sublane-alignment fill rows).
+    mom = _filt_rows_mxu(lane_f, taps_stats, 5, strip, rows, 1, row_off)
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -242,20 +266,7 @@ def _vif_scale_kernel(
     lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq)
 
     half = strip // 2
-    o9 = jax.lax.broadcasted_iota(jnp.int32, (2 * half, 2 * rows), 0)
-    l9 = jax.lax.broadcasted_iota(jnp.int32, (2 * half, 2 * rows), 1)
-    d9 = l9 - ((o9 // half) * rows + 2 * (o9 % half) + off_row)
-    m9 = None
-    for t, wgt in enumerate(taps_dec):
-        term = jnp.where(d9 == t, float(wgt), 0.0)
-        m9 = term if m9 is None else m9 + term
-    # HIGHEST precision: default (bf16-class) matmul precision would round
-    # the filtered values themselves.
-    dec = jnp.dot(
-        m9, lane9,
-        preferred_element_type=jnp.float32,
-        precision=FILTER_PRECISION,
-    )
+    dec = _filt_rows_mxu(lane9, taps_dec, 2, half, rows, 2, off_row)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 

@@ -63,6 +63,10 @@ class Config:
     # Streaming (bounded-memory) complexity analysis: True/False, or None =
     # auto (streams when the analyzed file exceeds ~256 MB).
     streaming_complexity: Optional[bool] = None
+    # VIF/VMAF filter-matmul precision: "auto" (default; FAST3 3-pass bf16 on
+    # TPU — end-to-end feature error ~5e-4, see docs/PARITY.md — exact f32 on
+    # CPU), "exact", or "fast". PSNR/SSIM are exact in every mode.
+    quality_precision: Optional[str] = None
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "Config":
@@ -107,6 +111,11 @@ class Config:
             self.streaming_complexity, bool
         ):
             raise ConfigError("streaming_complexity must be a boolean or null.")
+        if self.quality_precision not in (None, "auto", "exact", "fast"):
+            raise ConfigError(
+                "quality_precision must be 'auto', 'exact', 'fast' or null, "
+                f"got {self.quality_precision!r}."
+            )
         if self.preset not in _X264_PRESETS:
             # Catch preset typos here rather than as an opaque x264 error
             # mid-pipeline (VERDICT r2 weak #5).

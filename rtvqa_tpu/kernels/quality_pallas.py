@@ -54,6 +54,7 @@ from rtvqa_tpu.kernels.vif_pallas import (
     _filt_lanes_mxu,
     _filt_rows_mxu,
     _round_up,
+    resolve_fast3,
 )
 from rtvqa_tpu.vmaf.filters import gaussian_kernel
 from rtvqa_tpu.vmaf.motion import FILTER_5
@@ -177,6 +178,7 @@ def _fused_q_kernel(
     sem_r, sem_d, sem_c, sem_p,
     *, h: int, w: int, wq: int, wq_b: int, h2: int, w2: int,
     n_tiles_y: int, n_tiles_c: int, taps_stats, taps_dec, egl, strip: int,
+    fast3: bool = False,
 ):
     """Grid (n_strips, B) — strip-major, frame-minor (the blur_prev scratch
     carries frame i-1's blurred strip into cell (s, i))."""
@@ -317,9 +319,9 @@ def _fused_q_kernel(
     )
 
     # --- VIF scale 0 (kernels.vif_pallas dataflow, verbatim) ----------------
-    lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq)
+    lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq, fast3)
     row_off = halo_pad - halo
-    mom = _filt_rows_mxu(lane_f, taps_stats, 5, strip, rows, 1, row_off)
+    mom = _filt_rows_mxu(lane_f, taps_stats, 5, strip, rows, 1, row_off, fast3)
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -358,9 +360,9 @@ def _fused_q_kernel(
     off = halo - len(taps_dec) // 2
     off_row = halo_pad - len(taps_dec) // 2
     rd_stack = jnp.concatenate([r, d], axis=0)
-    lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq)
+    lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq, fast3)
     half = strip // 2
-    dec = _filt_rows_mxu(lane9, taps_dec, 2, half, rows, 2, off_row)
+    dec = _filt_rows_mxu(lane9, taps_dec, 2, half, rows, 2, off_row, fast3)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
@@ -379,15 +381,21 @@ def _fused_q_kernel(
     out_ref[0, :, :] = jnp.broadcast_to(packed, (8, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("egl", "interpret"))
+@functools.partial(jax.jit, static_argnames=("egl", "interpret", "fast3"))
 def quality_fused_pallas(
-    ry, ru, rv, dy, du, dv, prev_blur, egl=None, interpret: bool = False
+    ry, ru, rv, dy, du, dv, prev_blur, egl=None, interpret: bool = False,
+    fast3=None,
 ):
     """Fused VIF-scale-0 + program-A over YUV420 batches.
 
     Args: luma (B, H, W) and chroma (B, H/2, W/2) planes (uint8 or float),
     ``prev_blur`` (H, W) float32 — the blurred last ref-luma of the previous
     chunk (zeros for the first; the caller masks frame 0's SAD).
+
+    ``fast3`` (None = auto, ``vif_pallas.resolve_fast3``) selects the manual
+    3-pass bf16 scheme for the VIF moment/decimation filter matmuls ONLY —
+    the SSIM pooling matmuls always stay HIGHEST (integer exactness is a
+    correctness guarantee) and PSNR/motion never touch the MXU.
 
     Returns a dict: ``vif_scale0`` (B,), plane SSE sums ``sse_y/u/v`` (B,),
     SSIM window sums ``ssim_y/u/v_sum`` (B,), ``sad_sum`` (B,), the scale-1
@@ -465,6 +473,7 @@ def quality_fused_pallas(
             _fused_q_kernel, h=h, w=w, wq=wq, wq_b=wq_b, h2=h2, w2=w2,
             n_tiles_y=n_tiles_y, n_tiles_c=n_tiles_c,
             taps_stats=taps_stats, taps_dec=taps_dec, egl=egl, strip=strip,
+            fast3=resolve_fast3(fast3),
         ),
         out_shape=(out_shape, dec_shape, dec_shape, blur_shape),
         grid=(n_strips, b),

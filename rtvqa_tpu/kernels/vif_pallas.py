@@ -49,18 +49,43 @@ _EPS = 1e-10
 
 # Precision of the banded FILTER matmuls (Gaussian moment windows, the
 # pre-decimation filters, ADM's db2 bands). HIGHEST = 6-pass bf16 on the MXU
-# (f32-exact) is the default and the only fully-supported fast-math
-# alternative is DEFAULT (1-pass bf16 — too coarse for the VIF statistics'
-# mu^2 cancellation; measured unusable). Mosaic's dot lowering does NOT
-# implement Precision.HIGH (3-pass), so requests for it coerce to HIGHEST.
-# The SSIM pooling matmuls in kernels.quality_pallas always stay HIGHEST
-# (their integer exactness is a correctness guarantee).
+# (f32-exact) is the default. DEFAULT (1-pass bf16) is too coarse for the
+# VIF statistics' mu^2 cancellation (measured unusable), and Mosaic's dot
+# lowering does NOT implement Precision.HIGH (3-pass) — so the fast-math
+# mode here is FAST3: a MANUAL 3-pass scheme splitting each operand into
+# hi + lo bf16 parts and dropping only the lo*lo cross term (one tripled-
+# contraction native-bf16 matmul, ~2x MXU throughput vs HIGHEST; relative
+# filter error ~2^-17 per tap — see scripts/precision_ab.py for the
+# measured end-to-end feature error). The SSIM pooling matmuls in
+# kernels.quality_pallas always stay HIGHEST (their integer exactness is a
+# correctness guarantee).
 import os as _os
 
-_prec_name = _os.environ.get("RTVQA_FILTER_PRECISION", "HIGHEST").upper()
-if _prec_name not in ("DEFAULT", "HIGHEST"):
+_ENV_PREC = _os.environ.get("RTVQA_FILTER_PRECISION")
+_prec_name = (_ENV_PREC or "HIGHEST").upper()
+if _prec_name not in ("DEFAULT", "HIGHEST", "FAST3"):
     _prec_name = "HIGHEST"
-FILTER_PRECISION = getattr(jax.lax.Precision, _prec_name)
+FILTER_FAST3 = _prec_name == "FAST3"
+FILTER_PRECISION = getattr(
+    jax.lax.Precision, "HIGHEST" if FILTER_FAST3 else _prec_name
+)
+
+
+def resolve_fast3(fast3):
+    """Resolve a caller's fast3 request (None = auto policy).
+
+    Auto: FAST3 on the TPU (measured end-to-end VIF feature error <= ~5e-4
+    with the scale<=1 gating — far inside libvmaf's own float-vs-integer
+    path divergence and the 0.1 VMAF score budget; see docs/PARITY.md),
+    exact on CPU (tests/oracles). An explicit RTVQA_FILTER_PRECISION env
+    value overrides the auto policy in both directions; an explicit
+    True/False from the caller (config ``quality_precision``) wins outright.
+    """
+    if fast3 is not None:
+        return bool(fast3)
+    if _ENV_PREC is not None:
+        return FILTER_FAST3
+    return jax.default_backend() != "cpu"
 
 TAPS17 = gaussian_kernel(17, 17 / 5.0).astype(np.float32)
 TAPS9 = gaussian_kernel(9, 9 / 5.0).astype(np.float32)
@@ -71,7 +96,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _filt_lanes_mxu(x2, taps, off, wq):
+def _split_taps(taps):
+    """Split filter taps into (hi, lo) with hi exactly bf16-representable and
+    hi + lo == tap to f32 precision (lo is bf16-rounded once more inside the
+    kernel — a second-order error)."""
+    import ml_dtypes
+
+    t = np.asarray(taps, np.float32)
+    hi = t.astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = t - hi
+    return tuple(float(v) for v in hi), tuple(float(v) for v in lo)
+
+
+def _split_bf16(x):
+    """x (f32) ~= hi + lo with both parts bf16 (error ~2^-16 |x|)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _filt_lanes_mxu(x2, taps, off, wq, fast3=FILTER_FAST3):
     """Lane-axis FIR filter as tiled banded matmuls on the MXU.
 
     ``x2`` is the input with a 128-lane zero block prepended (data for padded
@@ -86,14 +130,38 @@ def _filt_lanes_mxu(x2, taps, off, wq):
     block was structurally unused — 2-block slices cut the lane-pass MXU
     FLOPs by a third with identical arithmetic.
     """
-    k = len(taps)
     l_ids = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
     dlane = l_ids - (j_ids + off)
-    m = None
-    for t, wgt in enumerate(taps):
-        term = jnp.where(dlane == t, float(wgt), 0.0)
-        m = term if m is None else m + term
+
+    def band(tp):
+        m = None
+        for t, wgt in enumerate(tp):
+            term = jnp.where(dlane == t, float(wgt), 0.0)
+            m = term if m is None else m + term
+        return m
+
+    if fast3:
+        # Manual 3-pass bf16: x @ m ~= xh@mh + xh@ml + xl@mh as ONE
+        # tripled-contraction native-bf16 matmul (lo*lo dropped).
+        th, tl = _split_taps(taps)
+        m3 = jnp.concatenate(
+            [band(th).astype(jnp.bfloat16), band(tl).astype(jnp.bfloat16),
+             band(th).astype(jnp.bfloat16)], axis=0
+        )
+        xh, xl = _split_bf16(x2)
+        blocks = []
+        for b in range(wq // 128):
+            lo_, hi_ = 128 * (b + 1), 128 * (b + 1) + 256
+            sl3 = jnp.concatenate(
+                [xh[:, lo_:hi_], xh[:, lo_:hi_], xl[:, lo_:hi_]], axis=1
+            )
+            blocks.append(
+                jnp.dot(sl3, m3, preferred_element_type=jnp.float32)
+            )
+        return jnp.concatenate(blocks, axis=1)
+
+    m = band(taps)
     blocks = []
     for b in range(wq // 128):
         sl = x2[:, 128 * (b + 1) : 128 * (b + 1) + 256]
@@ -107,7 +175,8 @@ def _filt_lanes_mxu(x2, taps, off, wq):
     return jnp.concatenate(blocks, axis=1)
 
 
-def _filt_rows_mxu(lane_f, taps, n_seg, seg_out, seg_in, stride, off_row):
+def _filt_rows_mxu(lane_f, taps, n_seg, seg_out, seg_in, stride, off_row,
+                   fast3=FILTER_FAST3):
     """Sublane-axis FIR (optionally fused with row decimation) as per-segment
     banded matmuls on the MXU.
 
@@ -124,10 +193,36 @@ def _filt_rows_mxu(lane_f, taps, n_seg, seg_out, seg_in, stride, off_row):
     o_ids = jax.lax.broadcasted_iota(jnp.int32, (seg_out, seg_in), 0)
     l_ids = jax.lax.broadcasted_iota(jnp.int32, (seg_out, seg_in), 1)
     d = l_ids - (stride * o_ids + off_row)
-    band = None
-    for t, wgt in enumerate(taps):
-        term = jnp.where(d == t, float(wgt), 0.0)
-        band = term if band is None else band + term
+
+    def mk_band(tp):
+        band = None
+        for t, wgt in enumerate(tp):
+            term = jnp.where(d == t, float(wgt), 0.0)
+            band = term if band is None else band + term
+        return band
+
+    if fast3:
+        th, tl = _split_taps(taps)
+        band3 = jnp.concatenate(
+            [mk_band(th).astype(jnp.bfloat16), mk_band(tl).astype(jnp.bfloat16),
+             mk_band(th).astype(jnp.bfloat16)], axis=1
+        )
+        lfh, lfl = _split_bf16(lane_f)
+        outs = [
+            jnp.dot(
+                band3,
+                jnp.concatenate(
+                    [lfh[m * seg_in : (m + 1) * seg_in],
+                     lfh[m * seg_in : (m + 1) * seg_in],
+                     lfl[m * seg_in : (m + 1) * seg_in]], axis=0
+                ),
+                preferred_element_type=jnp.float32,
+            )
+            for m in range(n_seg)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    band = mk_band(taps)
     outs = [
         jnp.dot(
             band, lane_f[m * seg_in : (m + 1) * seg_in],
@@ -142,7 +237,7 @@ def _filt_rows_mxu(lane_f, taps, n_seg, seg_out, seg_in, stride, off_row):
 def _vif_scale_kernel(
     ref_hbm, dis_hbm, *refs,
     strip: int, h: int, w: int, wq: int,
-    taps_stats, taps_dec, halo: int, egl=None,
+    taps_stats, taps_dec, halo: int, egl=None, fast3: bool = False,
 ):
     """Grid (B, n_strips). Strip s covers output rows [s*strip, (s+1)*strip).
 
@@ -197,12 +292,12 @@ def _vif_scale_kernel(
     # valid rows (the roll version computed statistics on all `rows`
     # sublanes and masked half of them away).
     stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
-    lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq)
+    lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq, fast3)
 
     # Output row x of moment m takes the k-tap window starting at row
     # x + row_off of its own stacked segment (row_off skips the
     # sublane-alignment fill rows).
-    mom = _filt_rows_mxu(lane_f, taps_stats, 5, strip, rows, 1, row_off)
+    mom = _filt_rows_mxu(lane_f, taps_stats, 5, strip, rows, 1, row_off, fast3)
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -263,18 +358,20 @@ def _vif_scale_kernel(
     # an in-kernel (wq, wd) lane-selection matrix costs 8 MB of VMEM at
     # 1080p and blew the 16 MB scoped budget.
     rd_stack = jnp.concatenate([r, d], axis=0)
-    lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq)
+    lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq, fast3)
 
     half = strip // 2
-    dec = _filt_rows_mxu(lane9, taps_dec, 2, half, rows, 2, off_row)
+    dec = _filt_rows_mxu(lane9, taps_dec, 2, half, rows, 2, off_row, fast3)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "egl", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "egl", "interpret", "fast3")
+)
 def vif_scale_pallas(
     ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int, egl=None,
-    interpret: bool = False,
+    interpret: bool = False, fast3=None,
 ):
     """Fused VIF at one scale over (B, H, W) float/uint8 luma.
 
@@ -286,8 +383,17 @@ def vif_scale_pallas(
 
     H and W arbitrary (H >= len(taps) for the reflect halo); a ragged final
     row strip is masked in-kernel and its decimated tail sliced off.
+
+    ``fast3`` (None = auto, see ``resolve_fast3``) selects the manual 3-pass
+    bf16 filter matmuls — applied at scales <= 1 ONLY: scale 0 holds >90% of
+    the filter FLOPs and its per-scale feature error is ~2e-4, but letting
+    the error compound through all three decimation stages reaches ~4e-3 at
+    scale 3 (measured on-device); scales 2-3 frames are 16-64x smaller, so
+    running them exact costs ~nothing and caps the end-to-end error at the
+    scale-1 level (~5e-4).
     """
     b, h, w = ref_y.shape
+    f3 = resolve_fast3(fast3) and scale <= 1
     # Grid-cell count is the kernel's dominant cost (~15 us of Mosaic grid +
     # DMA-issue overhead per cell; the filter math itself runs on the MXU
     # and is nearly free) — use the largest strip VMEM affords. The VMEM
@@ -350,6 +456,7 @@ def vif_scale_pallas(
         functools.partial(
             _vif_scale_kernel, strip=strip, h=h, w=w, wq=wq,
             taps_stats=taps_stats, taps_dec=taps_dec, halo=halo, egl=egl,
+            fast3=f3,
         ),
         out_shape=(nd_shape, dec_shape, dec_shape) if taps_dec else (nd_shape,),
         grid=(b, n_strips),
@@ -389,17 +496,20 @@ def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = 
 
 
 def vif_features_pallas(
-    ref_y: jnp.ndarray, dis_y: jnp.ndarray, enhn_gain_limit=None
+    ref_y: jnp.ndarray, dis_y: jnp.ndarray, enhn_gain_limit=None, fast3=None
 ) -> dict[str, jnp.ndarray]:
     """VIF at 4 scales, every scale as the fused Pallas kernel (the XLA
     slice-chain filters at scales 1-3 cost ~2x the scale-0 kernel in HBM
     traffic despite the smaller frames). Matches `vmaf.vif.vif_features`,
-    including NEG mode (``enhn_gain_limit``)."""
+    including NEG mode (``enhn_gain_limit``); ``fast3`` as in
+    ``vif_scale_pallas`` (scale <= 1 gating applied per scale)."""
     interpret = jax.default_backend() == "cpu"
     egl = None if enhn_gain_limit is None else float(enhn_gain_limit)
     out = {}
     ref, dis = ref_y, dis_y
     for scale in range(4):
-        v, ref, dis = vif_scale_pallas(ref, dis, scale, egl=egl, interpret=interpret)
+        v, ref, dis = vif_scale_pallas(
+            ref, dis, scale, egl=egl, interpret=interpret, fast3=fast3
+        )
         out[f"vif_scale{scale}"] = v
     return out

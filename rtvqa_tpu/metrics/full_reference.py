@@ -57,6 +57,23 @@ B_KEYS = ("vif_scale0", "vif_scale1", "vif_scale2", "vif_scale3", "adm2")
 CHUNK_KEYS = A_KEYS + B_KEYS  # combined series key set
 
 
+def resolve_precision(quality_precision: Optional[str]):
+    """Map the config-level ``quality_precision`` string to the kernels'
+    static ``fast3`` flag: None/"auto" -> None (backend policy,
+    ``kernels.vif_pallas.resolve_fast3``), "exact" -> False, "fast" -> True.
+    """
+    if quality_precision in (None, "auto"):
+        return None
+    if quality_precision == "exact":
+        return False
+    if quality_precision == "fast":
+        return True
+    raise ValueError(
+        f"quality_precision must be 'auto', 'exact' or 'fast', got "
+        f"{quality_precision!r}"
+    )
+
+
 @jax.jit
 def _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
     """PSNR + SSIM + motion SADs for one lockstep chunk.
@@ -78,8 +95,8 @@ def _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev):
     return packed, blur[-1]
 
 
-@functools.partial(jax.jit, static_argnames=("vif_egl", "adm_egl"))
-def _program_b(ry, dy, vif_egl=None, adm_egl=None):
+@functools.partial(jax.jit, static_argnames=("vif_egl", "adm_egl", "fast3"))
+def _program_b(ry, dy, vif_egl=None, adm_egl=None, fast3=None):
     """VIF (4 scales) + ADM2 for one (sub-)chunk: (len(B_KEYS), N) packed.
 
     On TPU, VIF scale 0 (the dominant cost) runs as the fused Pallas kernel
@@ -100,7 +117,9 @@ def _program_b(ry, dy, vif_egl=None, adm_egl=None):
     if on_tpu:
         from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 
-        out.update(vif_features_pallas(ryf, dyf, enhn_gain_limit=vif_egl))
+        out.update(
+            vif_features_pallas(ryf, dyf, enhn_gain_limit=vif_egl, fast3=fast3)
+        )
     else:
         out.update(vif_features(ryf, dyf, enhn_gain_limit=vif_egl))
     if on_tpu:
@@ -120,7 +139,7 @@ def _to_psnr(mse):
 
 
 def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
-                     vif_egl, adm_egl):
+                     vif_egl, adm_egl, fast3=None):
     """TPU body of ``_program_chunk``: program A (PSNR/SSIM/motion) rides
     INSIDE the fused VIF scale-0 Pallas kernel (kernels.quality_pallas —
     round 3; program A as a standalone XLA program cost 0.10 s of the 0.37 s
@@ -136,10 +155,12 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
         # strips whose per-cell overhead erases the fusion win — keep the
         # round-2 composition (XLA program A + fused Pallas VIF/ADM) there.
         pa, blur = _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev)
-        pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl)
+        pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl, fast3=fast3)
         return jnp.concatenate([pa, pb], axis=0), blur
 
-    fq = quality_fused_pallas(ry, ru, rv, dy, du, dv, prev_blur, egl=vif_egl)
+    fq = quality_fused_pallas(
+        ry, ru, rv, dy, du, dv, prev_blur, egl=vif_egl, fast3=fast3
+    )
     h, w = ry.shape[-2], ry.shape[-1]
     h2, w2 = ru.shape[-2], ru.shape[-1]
     n_y = h * w
@@ -168,7 +189,7 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     out["vif_scale0"] = fq["vif_scale0"]
     ref, dis = fq["dec_ref"], fq["dec_dis"]
     for scale in (1, 2, 3):
-        v, ref, dis = vif_scale_pallas(ref, dis, scale, egl=vif_egl)
+        v, ref, dis = vif_scale_pallas(ref, dis, scale, egl=vif_egl, fast3=fast3)
         out[f"vif_scale{scale}"] = v
 
     out.update(
@@ -181,9 +202,9 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     return packed, fq["blur_carry"]
 
 
-@functools.partial(jax.jit, static_argnames=("vif_egl", "adm_egl"))
+@functools.partial(jax.jit, static_argnames=("vif_egl", "adm_egl", "fast3"))
 def _program_chunk(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
-                   vif_egl=None, adm_egl=None):
+                   vif_egl=None, adm_egl=None, fast3=None):
     """One fused program per chunk: PSNR+SSIM+motion AND VIF+ADM.
 
     Merging everything into a single XLA program saves one dispatch + one
@@ -196,7 +217,8 @@ def _program_chunk(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     """
     if jax.default_backend() != "cpu":
         return _chunk_fused_tpu(
-            ry, ru, rv, dy, du, dv, prev_blur, has_prev, vif_egl, adm_egl
+            ry, ru, rv, dy, du, dv, prev_blur, has_prev, vif_egl, adm_egl,
+            fast3,
         )
     pa, blur = _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev)
     pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl)
@@ -227,6 +249,7 @@ def _run_quality_chunks(
     tap=None,
     runner=None,
     stage: bool = True,
+    fast3=None,
 ) -> tuple[dict, int]:
     """The shared streaming loop: decode both streams once in lockstep,
     stage full chunks into HBM from the prefetch threads (explicit
@@ -254,7 +277,7 @@ def _run_quality_chunks(
 
     try:
         return _quality_chunk_loop(
-            ref_it, dis_it, chunk, vif_egl, adm_egl, tap, runner
+            ref_it, dis_it, chunk, vif_egl, adm_egl, tap, runner, fast3
         )
     finally:
         # Close on ANY exit (ADVICE r2 #2): an exception mid-chunk must not
@@ -264,7 +287,8 @@ def _run_quality_chunks(
         dis_it.close()
 
 
-def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap, runner=None):
+def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap,
+                        runner=None, fast3=None):
     series: dict[str, list[np.ndarray]] = {}
     carry_blur = None
     first = True
@@ -305,7 +329,7 @@ def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap, runner=Non
             # trip through the tunnel.
             packed, carry_blur = _program_chunk(
                 ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first),
-                vif_egl=vif_egl, adm_egl=adm_egl,
+                vif_egl=vif_egl, adm_egl=adm_egl, fast3=fast3,
             )
             packed = np.asarray(packed)
         else:
@@ -337,8 +361,13 @@ def analyze_full_reference(
     dis_path: str,
     chunk: Optional[int] = None,
     vmaf_model_path: Optional[str] = None,
+    quality_precision: Optional[str] = None,
 ) -> dict:
-    """Stream both videos once; return pooled PSNR/SSIM/VMAF + per-frame series."""
+    """Stream both videos once; return pooled PSNR/SSIM/VMAF + per-frame series.
+
+    ``quality_precision``: None/"auto" = FAST3 filter matmuls on TPU, exact
+    on CPU (``kernels.vif_pallas.resolve_fast3``); "exact"/"fast" force.
+    """
     probe = VideoStream(ref_path, 1, 1)
     chunk = auto_chunk(probe.info.width, probe.info.height, chunk)
     probe.close()
@@ -349,6 +378,7 @@ def analyze_full_reference(
         ref_path, dis_path, chunk,
         model.vif_enhn_gain_limit if model else None,
         model.adm_enhn_gain_limit if model else None,
+        fast3=resolve_precision(quality_precision),
     )
     if n_frames == 0:
         return {"n_frames": 0}
@@ -367,6 +397,7 @@ def analyze_combined(
     complexity_on: str = "dis",
     chunk: Optional[int] = None,
     vmaf_model_path: Optional[str] = None,
+    quality_precision: Optional[str] = None,
 ) -> tuple[dict, "object"]:
     """One decode pass per stream: full-reference quality AND the eight-metric
     complexity suite from the same lockstep loop.
@@ -413,6 +444,7 @@ def analyze_combined(
         model.vif_enhn_gain_limit if model else None,
         model.adm_enhn_gain_limit if model else None,
         tap=tap,
+        fast3=resolve_precision(quality_precision),
     )
     comp = acc.finalize()
     if n_frames == 0:

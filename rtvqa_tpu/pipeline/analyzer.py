@@ -95,6 +95,7 @@ def analyze_video(
                             complexity_chunk=config.batch_size,
                             complexity_on="ref" if config.analyze_original else "dis",
                             vmaf_model_path=config.vmaf_model_path,
+                            quality_precision=config.quality_precision,
                         )
                 else:
                     from rtvqa_tpu.metrics.full_reference import analyze_full_reference
@@ -104,6 +105,7 @@ def analyze_video(
                             input_video,
                             encoded_video,
                             vmaf_model_path=config.vmaf_model_path,
+                            quality_precision=config.quality_precision,
                         )
                 timer.add_frames(int(qual.get("n_frames", 0)))
                 if qual["n_frames"] == 0:

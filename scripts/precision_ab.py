@@ -5,7 +5,13 @@ and reports timing + (vs a replicated XLA float32 reference on small batch)
 the feature error. Run twice:
 
     RTVQA_FILTER_PRECISION=highest python scripts/precision_ab.py
-    RTVQA_FILTER_PRECISION=high    python scripts/precision_ab.py
+    RTVQA_FILTER_PRECISION=fast3   python scripts/precision_ab.py
+
+FAST3 = the manual 3-pass bf16 scheme (kernels.vif_pallas), auto-gated to
+VIF scales <= 1. Round-3 measurements (128x1080p fused chunk):
+HIGHEST 278 ms; FAST3 247.7 ms (-11%); feature max_rel_err ~2e-4 at scale 0,
+~5e-4 at scale 1 with the gating (ungated all-scale FAST3 compounded to
+~4e-3 at scale 3 — why the gate exists).
 """
 
 from __future__ import annotations

@@ -46,6 +46,8 @@ def test_reference_config_loads(tmp_path):
         {"preset": ""},
         {"streaming_complexity": "yes"},
         {"streaming_complexity": 1},
+        {"quality_precision": "bf16"},
+        {"quality_precision": True},
     ],
 )
 def test_invalid_configs_rejected(tmp_path, patch):
@@ -62,6 +64,19 @@ def test_valid_preset_and_streaming_flags(tmp_path):
     cfg = load_config(write_cfg(tmp_path, raw))
     assert cfg.preset == "veryfast"
     assert cfg.streaming_complexity is True
+
+
+def test_quality_precision_values(tmp_path):
+    from rtvqa_tpu.metrics.full_reference import resolve_precision
+
+    for v, fast3 in (("auto", None), ("exact", False), ("fast", True)):
+        raw = dict(REFERENCE_DEFAULTS, quality_precision=v)
+        cfg = load_config(write_cfg(tmp_path, raw))
+        assert cfg.quality_precision == v
+        assert resolve_precision(v) is fast3
+    assert resolve_precision(None) is None
+    with pytest.raises(ValueError):
+        resolve_precision("bf16")
 
 
 def test_unknown_key_rejected(tmp_path):

@@ -112,3 +112,31 @@ def test_fused_quality_kernel_neg_gain_limit(rng):
     np.testing.assert_allclose(
         np.asarray(got["vif_scale0"]), np.asarray(expected["vif_scale0"]), rtol=3e-4
     )
+
+
+def test_fused_quality_kernel_fast3(rng):
+    """FAST3 affects ONLY the VIF filter matmuls: SSE/SSIM/SAD outputs are
+    bit-identical to the exact path (SSIM pooling stays HIGHEST), while the
+    VIF quantities stay inside the documented error budget."""
+    from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+
+    ry, ru, rv, dy, du, dv = make_yuv(rng, b=2, h=56, w=70)
+    prev_blur = np.zeros((56, 70), np.float32)
+    exact = quality_fused_pallas(
+        ry, ru, rv, dy, du, dv, prev_blur, interpret=True, fast3=False
+    )
+    fast = quality_fused_pallas(
+        ry, ru, rv, dy, du, dv, prev_blur, interpret=True, fast3=True
+    )
+    for k in ("sse_y", "sse_u", "sse_v", "ssim_y_sum", "ssim_u_sum",
+              "ssim_v_sum", "sad_sum", "blur_carry"):
+        np.testing.assert_array_equal(
+            np.asarray(fast[k]), np.asarray(exact[k]), err_msg=k
+        )
+    for k in ("vif_scale0", "dec_ref", "dec_dis"):
+        a, b = np.asarray(fast[k]), np.asarray(exact[k])
+        rel = np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-6))
+        assert rel < 2e-3, f"{k}: rel err {rel}"
+    assert not np.array_equal(
+        np.asarray(fast["vif_scale0"]), np.asarray(exact["vif_scale0"])
+    )

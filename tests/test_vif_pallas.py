@@ -115,6 +115,40 @@ def test_vif_pallas_neg_gain_limit(rng):
     ).mean() - 1e-3
 
 
+def test_vif_fast3_tracks_exact(rng):
+    """FAST3 (manual 3-pass bf16 filter matmuls, auto-gated to scales <= 1)
+    tracks the exact HIGHEST path within the documented feature-error budget
+    (docs/PARITY.md: ~5e-4 end-to-end)."""
+    from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+
+    ref, dis = make_pair(rng, b=2, h=64, w=96)
+    exact = vif_features_pallas(ref, dis, fast3=False)
+    fast = vif_features_pallas(ref, dis, fast3=True)
+    for k in range(4):
+        a = np.asarray(fast[f"vif_scale{k}"])
+        b = np.asarray(exact[f"vif_scale{k}"])
+        rel = np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-9))
+        assert rel < 2e-3, f"scale {k}: rel err {rel}"
+    # The scheme is not a no-op: scale 0 must actually differ from exact at
+    # the bf16-residual level (guards against fast3 silently not engaging).
+    assert not np.array_equal(
+        np.asarray(fast["vif_scale0"]), np.asarray(exact["vif_scale0"])
+    )
+
+
+def test_resolve_fast3_policy(monkeypatch):
+    """Auto policy: exact on CPU (this suite), explicit caller wins."""
+    import rtvqa_tpu.kernels.vif_pallas as vp
+
+    assert vp.resolve_fast3(True) is True
+    assert vp.resolve_fast3(False) is False
+    monkeypatch.setattr(vp, "_ENV_PREC", None)
+    import jax
+
+    expected = jax.default_backend() != "cpu"
+    assert vp.resolve_fast3(None) is expected
+
+
 def test_vif_features_pallas_identity(rng):
     from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 

@@ -341,7 +341,7 @@ def run_validate(out_path: str) -> int:
     from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
     from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
     from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
-    from rtvqa_tpu.ops.motion import block_match_motion
+    from rtvqa_tpu.ops.motion import block_match_motion, block_match_motion_pyramid
     from rtvqa_tpu.vmaf.adm import adm_features
     from rtvqa_tpu.vmaf.vif import vif_features
 
@@ -382,6 +382,12 @@ def run_validate(out_path: str) -> int:
         mp = np.asarray(block_match_motion_pallas(ryq, dyq))
         mx = np.asarray(block_match_motion(ryq, dyq))
         check(f"motion/{label}", mp, mx, 1e-6)
+
+        # Pyramid search (the round-3 production default for the complexity
+        # suite): half-res Pallas kernel vs half-res XLA scan.
+        mpp = np.asarray(block_match_motion_pyramid(ryq, dyq, impl="pallas"))
+        mxp = np.asarray(block_match_motion_pyramid(ryq, dyq))
+        check(f"motion_pyramid/{label}", mpp, mxp, 1e-6)
 
         # Fused VIF0+PSNR+SSIM+motion kernel (round 3) vs the XLA programs.
         # 1080p-class only: >2048-wide frames exceed the kernel's VMEM budget

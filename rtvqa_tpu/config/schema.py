@@ -67,6 +67,10 @@ class Config:
     # TPU — end-to-end feature error ~5e-4, see docs/PARITY.md — exact f32 on
     # CPU), "exact", or "fast". PSNR/SSIM are exact in every mode.
     quality_precision: Optional[str] = None
+    # Motion-complexity block-matching search: "pyramid" (default — half-res
+    # coarse search, the reference Farneback's own pyramid analog, ~14x less
+    # arithmetic) or "full" (exhaustive full-resolution). docs/PARITY.md.
+    motion_search: str = "pyramid"
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "Config":
@@ -111,6 +115,11 @@ class Config:
             self.streaming_complexity, bool
         ):
             raise ConfigError("streaming_complexity must be a boolean or null.")
+        if self.motion_search not in ("pyramid", "full"):
+            raise ConfigError(
+                f"motion_search must be 'pyramid' or 'full', got "
+                f"{self.motion_search!r}."
+            )
         if self.quality_precision not in (None, "auto", "exact", "fast"):
             raise ConfigError(
                 "quality_precision must be 'auto', 'exact', 'fast' or null, "

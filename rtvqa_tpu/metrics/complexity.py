@@ -43,7 +43,11 @@ from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
 from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
-from rtvqa_tpu.ops.motion import block_match_motion, fps_variation
+from rtvqa_tpu.ops.motion import (
+    block_match_motion,
+    block_match_motion_pyramid,
+    fps_variation,
+)
 from rtvqa_tpu.ops.orb import orb_keypoint_count
 from rtvqa_tpu.ops.resize import resize_bilinear
 from rtvqa_tpu.ops.scan import ewm_mean_masked, masked_mean
@@ -84,7 +88,7 @@ def _smoothed_masked_mean(series: jnp.ndarray, valid: jnp.ndarray, alpha: float)
     jax.jit,
     static_argnames=(
         "resize_h", "resize_w", "alpha", "block", "radius", "edge_low",
-        "edge_high", "motion_impl",
+        "edge_high", "motion_impl", "motion_search",
     ),
 )
 def complexity_suite(
@@ -102,12 +106,16 @@ def complexity_suite(
     edge_low: float = 100.0,
     edge_high: float = 200.0,
     motion_impl: str = "xla",
+    motion_search: str = "pyramid",
 ) -> dict[str, jnp.ndarray]:
     """Full complexity suite on padded sampled-frame batches; returns the 8
     smoothed-mean scalars keyed by metric name.
 
     ``motion_impl``: "xla" (scan-based, any backend) or "pallas" (VMEM-staged
     search kernel — TPU only; ~300x less HBM traffic at full resolution).
+    ``motion_search``: "pyramid" (default — half-res coarse search, the
+    reference Farneback's own pyramid analog, ~14x less VPU work) or "full"
+    (exhaustive full-resolution search); see ops.motion.
     """
     n_pad = y.shape[0]
     idx = jnp.arange(n_pad)
@@ -121,7 +129,11 @@ def complexity_suite(
 
     # -- motion: block matching on full-res gray pairs (reference runs
     #    Farneback unresized, complexity_metrics.py:313-343).
-    if motion_impl == "pallas":
+    if motion_search == "pyramid":
+        motion_series = block_match_motion_pyramid(
+            prev_g, curr_g, block=block, radius=radius, impl=motion_impl
+        )
+    elif motion_impl == "pallas":
         from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
 
         motion_series = block_match_motion_pallas(
@@ -174,13 +186,14 @@ METRIC_ORDER = (
     jax.jit,
     static_argnames=(
         "resize_h", "resize_w", "alpha", "block", "radius", "edge_low",
-        "edge_high", "motion_impl",
+        "edge_high", "motion_impl", "motion_search",
     ),
 )
 def complexity_suite_packed(
     y, u, v, timestamps_ms, n_valid, *,
     resize_h, resize_w, alpha=0.8, block=16, radius=8,
     edge_low=100.0, edge_high=200.0, motion_impl="xla",
+    motion_search="pyramid",
 ) -> jnp.ndarray:
     """complexity_suite with the 8 scalars packed into one (8,) array —
     a single device->host fetch (each fetched array costs a full RPC round
@@ -189,7 +202,7 @@ def complexity_suite_packed(
         y, u, v, timestamps_ms, n_valid,
         resize_h=resize_h, resize_w=resize_w, alpha=alpha, block=block,
         radius=radius, edge_low=edge_low, edge_high=edge_high,
-        motion_impl=motion_impl,
+        motion_impl=motion_impl, motion_search=motion_search,
     )
     return jnp.stack([out[k] for k in METRIC_ORDER])
 
@@ -207,6 +220,7 @@ def calculate_average_scene_complexity(
     block: int = 16,
     radius: int = 8,
     motion_impl: str | None = None,
+    motion_search: str = "pyramid",
 ) -> ComplexityResult:
     """Host-side wrapper: pad a DecodedClip to a static bucket, run the jitted
     suite, return the reference-ordered result (public API analog of
@@ -233,6 +247,7 @@ def calculate_average_scene_complexity(
             block=block,
             radius=radius,
             motion_impl=motion_impl,
+            motion_search=motion_search,
         )
     )
     return ComplexityResult(**{k: float(packed[i]) for i, k in enumerate(METRIC_ORDER)})

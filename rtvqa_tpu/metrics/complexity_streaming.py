@@ -36,11 +36,13 @@ VALUE_KEYS = ("motion", "dct", "histogram", "edge", "orb", "color", "temporal_dc
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resize_h", "resize_w", "block", "radius", "edge_low", "edge_high"),
+    static_argnames=("resize_h", "resize_w", "block", "radius", "edge_low",
+                     "edge_high", "motion_search"),
 )
 def _chunk_values(
     y, u, v, tail_y, tail_u, tail_v, *,
     resize_h, resize_w, block=16, radius=8, edge_low=100.0, edge_high=200.0,
+    motion_search="pyramid",
 ):
     """Per-frame complexity values for one chunk; the previous-frame operand
     is built ON DEVICE from the carried 1-frame tail (uploading a host-built
@@ -52,7 +54,7 @@ def _chunk_values(
     vals = _per_frame_values(
         y[None], u[None], v[None], prev_y[None], prev_u[None], prev_v[None],
         resize_h=resize_h, resize_w=resize_w, block=block, radius=radius,
-        edge_low=edge_low, edge_high=edge_high,
+        edge_low=edge_low, edge_high=edge_high, motion_search=motion_search,
     )
     return jnp.stack([vals[k][0].astype(jnp.float32) for k in VALUE_KEYS])
 
@@ -102,6 +104,7 @@ class ComplexityAccumulator:
         chunk: int = 32,
         block: int = 16,
         radius: int = 8,
+        motion_search: str = "pyramid",
     ):
         self.resize_width = resize_width
         self.resize_height = resize_height
@@ -109,6 +112,7 @@ class ComplexityAccumulator:
         self.chunk = chunk
         self.block = block
         self.radius = radius
+        self.motion_search = motion_search
         self.values: dict[str, list[np.ndarray]] = {k: [] for k in VALUE_KEYS}
         self.timestamps: list[np.ndarray] = []
         self.n_total = 0
@@ -190,6 +194,7 @@ class ComplexityAccumulator:
                 dy, du, dv, *(jax.device_put(t) for t in tail),
                 resize_h=self.resize_height, resize_w=self.resize_width,
                 block=self.block, radius=self.radius,
+                motion_search=self.motion_search,
             )
         )  # one fetch per chunk
         # Carry the last VALID frame as the next chunk's tail, on device
@@ -229,10 +234,12 @@ def calculate_average_scene_complexity_streaming(
     chunk: int = 32,
     block: int = 16,
     radius: int = 8,
+    motion_search: str = "pyramid",
 ) -> ComplexityResult:
     """Streaming equivalent of `calculate_average_scene_complexity`."""
     acc = ComplexityAccumulator(
-        resize_width, resize_height, smoothing_factor, chunk, block, radius
+        resize_width, resize_height, smoothing_factor, chunk, block, radius,
+        motion_search,
     )
     it = prefetch(VideoStream(video_path, frame_interval, chunk), depth=1)
     for fb in it:

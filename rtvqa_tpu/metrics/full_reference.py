@@ -398,6 +398,7 @@ def analyze_combined(
     chunk: Optional[int] = None,
     vmaf_model_path: Optional[str] = None,
     quality_precision: Optional[str] = None,
+    motion_search: str = "pyramid",
 ) -> tuple[dict, "object"]:
     """One decode pass per stream: full-reference quality AND the eight-metric
     complexity suite from the same lockstep loop.
@@ -423,7 +424,8 @@ def analyze_combined(
     model = load_model(vmaf_model_path) if vmaf_model_path else None
 
     acc = ComplexityAccumulator(
-        resize_width, resize_height, smoothing_factor, complexity_chunk
+        resize_width, resize_height, smoothing_factor, complexity_chunk,
+        motion_search=motion_search,
     )
 
     def tap(rhost, dhost, n, offset):

@@ -4,8 +4,8 @@ The reference's motion metric is the mean Farneback optical-flow magnitude
 between sampled frame pairs at full resolution
 (``complexity_metrics.py:313-343``). Farneback's iterative polynomial
 expansion is a poor fit for the MXU/VPU; per the BASELINE.md north star the
-TPU framework substitutes **full-search block matching** — a documented
-behavioral substitution (SURVEY.md §2 native-component table, hard part 5):
+TPU framework substitutes **block matching** — a documented behavioral
+substitution (SURVEY.md §2 native-component table, hard part 5):
 
 * partition the current frame into ``block x block`` tiles;
 * for each tile, find the integer displacement within ``±radius`` minimizing
@@ -13,13 +13,25 @@ behavioral substitution (SURVEY.md §2 native-component table, hard part 5):
 * the metric is the mean displacement magnitude over tiles — same units as
   mean flow magnitude (pixels per sampled-frame step).
 
+Two search modes (``docs/PARITY.md`` §motion):
+
+* **full** (``block_match_motion``): exhaustive over all (2r+1)^2 candidate
+  displacements at full resolution;
+* **pyramid** (``block_match_motion_pyramid``, the production default):
+  2x2-mean downsample, exhaustive search at half resolution with
+  block/2, radius/2, displacement magnitudes scaled by 2. Covers the SAME
+  ±radius full-resolution span at ~1/14 the arithmetic (candidates /3.6,
+  pixels /4), quantized to even displacements — the closest analog of the
+  reference Farneback's own pyramid (its defaults are 3 levels, pyr_scale
+  0.5, ``complexity_metrics.py:336-340``).
+
 Implementation: one ``lax.scan`` over the (2r+1)^2 candidate displacements.
 Each step is a dynamic-slice of the padded previous frame + an elementwise
 SAD + a blockwise sum (reshape-reduce) — fully static shapes, everything
 batched over frames. Running argmin keeps (best_sad, best_dy, best_dx).
 
 Scale note: ties are broken toward the smaller raster-scan candidate index
-(first minimum wins), so static scenes report exactly 0.0.
+(first minimum wins), so static scenes report exactly 0.0 in both modes.
 """
 
 from __future__ import annotations
@@ -84,6 +96,46 @@ def block_match_motion(
     )
     mag = jnp.sqrt(best_dy * best_dy + best_dx * best_dx)
     return jnp.mean(mag, axis=(-2, -1))
+
+
+def down2_mean(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 mean pooling (..., H, W) -> (..., H//2, W//2); odd tails cropped."""
+    h = (x.shape[-2] // 2) * 2
+    w = (x.shape[-1] // 2) * 2
+    xc = x[..., :h, :w].astype(jnp.float32)
+    return 0.25 * (
+        xc[..., 0::2, 0::2] + xc[..., 0::2, 1::2]
+        + xc[..., 1::2, 0::2] + xc[..., 1::2, 1::2]
+    )
+
+
+def block_match_motion_pyramid(
+    prev_gray: jnp.ndarray,
+    curr_gray: jnp.ndarray,
+    block: int = 16,
+    radius: int = 8,
+    impl: str = "xla",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pyramid (coarse-level) block-matching motion: (..., H, W) -> (...,).
+
+    Downsample 2x (mean pool), exhaustive search with block/2 and radius/2,
+    displacement magnitudes scaled back by 2 — the same spatial blocks and
+    the same ±radius search span as the full search, at ~1/14 the VPU work
+    (see module docstring). ``impl``: "xla" or "pallas" (the VMEM-staged
+    kernel, TPU only; ``interpret`` for CPU testing).
+    """
+    bp = max(block // 2, 1)
+    rp = max(radius // 2, 1)
+    pg = down2_mean(prev_gray)
+    cg = down2_mean(curr_gray)
+    if impl == "pallas":
+        from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
+
+        return 2.0 * block_match_motion_pallas(
+            pg, cg, block=bp, radius=rp, interpret=interpret
+        )
+    return 2.0 * block_match_motion(pg, cg, block=bp, radius=rp)
 
 
 def fps_variation(timestamps_ms: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -38,7 +38,7 @@ from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
 from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
-from rtvqa_tpu.ops.motion import block_match_motion
+from rtvqa_tpu.ops.motion import block_match_motion, block_match_motion_pyramid
 from rtvqa_tpu.ops.orb import orb_keypoint_count
 from rtvqa_tpu.ops.resize import resize_bilinear
 from rtvqa_tpu.ops.scan import ewm_mean_masked, masked_mean
@@ -57,6 +57,7 @@ def make_mesh(n_clip: int = 1, n_frame: Optional[int] = None, devices=None) -> M
 def _per_frame_values(
     y, u, v, prev_y, prev_u, prev_v, *,
     resize_h, resize_w, block, radius, edge_low, edge_high,
+    motion_search="pyramid",
 ):
     """All eight per-frame metric values for a local frame block.
 
@@ -67,7 +68,12 @@ def _per_frame_values(
     prev_gray = yuv420_to_gray(prev_y, prev_u, prev_v)
     rgb = yuv420_to_rgb(y, u, v)
 
-    motion = block_match_motion(prev_gray, gray, block=block, radius=radius)
+    if motion_search == "pyramid":
+        motion = block_match_motion_pyramid(
+            prev_gray, gray, block=block, radius=radius
+        )
+    else:
+        motion = block_match_motion(prev_gray, gray, block=block, radius=radius)
 
     gray_rs = resize_bilinear(gray, resize_h, resize_w)
     prev_gray_rs = resize_bilinear(prev_gray, resize_h, resize_w)
@@ -123,6 +129,7 @@ def sharded_complexity_suite(
     radius: int = 8,
     edge_low: float = 100.0,
     edge_high: float = 200.0,
+    motion_search: str = "pyramid",
 ):
     """Build the jitted multi-chip complexity step for a given mesh.
 
@@ -133,7 +140,7 @@ def sharded_complexity_suite(
     kernel = functools.partial(
         _per_frame_values,
         resize_h=resize_h, resize_w=resize_w, block=block, radius=radius,
-        edge_low=edge_low, edge_high=edge_high,
+        edge_low=edge_low, edge_high=edge_high, motion_search=motion_search,
     )
 
     def body(y, u, v, ts, n_valid):

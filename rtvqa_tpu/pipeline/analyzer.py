@@ -96,6 +96,7 @@ def analyze_video(
                             complexity_on="ref" if config.analyze_original else "dis",
                             vmaf_model_path=config.vmaf_model_path,
                             quality_precision=config.quality_precision,
+                            motion_search=config.motion_search,
                         )
                 else:
                     from rtvqa_tpu.metrics.full_reference import analyze_full_reference
@@ -148,6 +149,7 @@ def analyze_video(
                         frame_interval=config.frame_interval,
                         smoothing_factor=config.smoothing_alpha,
                         chunk=config.batch_size,
+                        motion_search=config.motion_search,
                     )
             else:
                 with timer.stage("decode"):
@@ -160,6 +162,7 @@ def analyze_video(
                         resize_width=config.resize_width,
                         resize_height=config.resize_height,
                         smoothing_factor=config.smoothing_alpha,
+                        motion_search=config.motion_search,
                     )
 
         # Correct label<->value mapping (reference bug SURVEY.md §2.4(1)).

@@ -34,6 +34,7 @@ def analyze_clips_sharded(
     smoothing_factor: float = 0.8,
     mesh=None,
     n_clip_shards: Optional[int] = None,
+    motion_search: str = "pyramid",
 ) -> list[ComplexityResult]:
     """Complexity suite for a same-resolution corpus, sharded over the mesh.
 
@@ -81,6 +82,7 @@ def analyze_clips_sharded(
         resize_h=resize_height,
         resize_w=resize_width,
         alpha=float(smoothing_factor),
+        motion_search=motion_search,
     )
     out = fn(y, u, v, ts, n_valid)
     out = {k: np.asarray(val) for k, val in out.items()}

@@ -222,6 +222,7 @@ def run_sweep_sharded(
                     frame_interval=config.frame_interval,
                     smoothing_factor=config.smoothing_alpha,
                     mesh=comp_mesh,
+                    motion_search=config.motion_search,
                 )
             except Exception as e:
                 # Batched call failed: isolate per item sequentially.
@@ -241,6 +242,7 @@ def run_sweep_sharded(
                             resize_width=config.resize_width,
                             resize_height=config.resize_height,
                             smoothing_factor=config.smoothing_alpha,
+                            motion_search=config.motion_search,
                         ))
                     except Exception as e2:
                         failed[it] = f"complexity: {e2}"

@@ -129,3 +129,18 @@ def block_match_motion(prev: np.ndarray, curr: np.ndarray, block=16, radius=8) -
                         best = (sad, dy, dx)
             mags.append(np.hypot(best[1], best[2]))
     return float(np.mean(mags))
+
+
+def down2_mean(x: np.ndarray) -> np.ndarray:
+    h, w = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+    xc = x[:h, :w].astype(np.float64)
+    return 0.25 * (xc[0::2, 0::2] + xc[0::2, 1::2] + xc[1::2, 0::2] + xc[1::2, 1::2])
+
+
+def block_match_motion_pyramid(prev: np.ndarray, curr: np.ndarray, block=16, radius=8) -> float:
+    """Coarse-level pyramid search: 2x2-mean downsample, exhaustive at
+    block/2 and radius/2, magnitudes scaled by 2 (ops.motion semantics)."""
+    return 2.0 * block_match_motion(
+        down2_mean(prev), down2_mean(curr),
+        block=max(block // 2, 1), radius=max(radius // 2, 1),
+    )

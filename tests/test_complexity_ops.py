@@ -151,6 +151,36 @@ def test_block_match_matches_oracle_random(rng):
     assert got == pytest.approx(expected, rel=1e-6)
 
 
+def test_pyramid_matches_oracle_random(rng):
+    prev = rng.integers(0, 256, (64, 96)).astype(np.float32)
+    curr = rng.integers(0, 256, (64, 96)).astype(np.float32)
+    got = float(np.asarray(
+        jmotion.block_match_motion_pyramid(prev[None], curr[None], block=16, radius=8)
+    )[0])
+    expected = oracle.block_match_motion_pyramid(prev, curr, block=16, radius=8)
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_pyramid_static_scene_odd_dims(rng):
+    # Odd H/W exercise the 2x2-pool crop; static scenes stay exactly 0.
+    f = rng.integers(0, 256, (54, 62)).astype(np.float32)
+    got = float(np.asarray(jmotion.block_match_motion_pyramid(f[None], f[None]))[0])
+    assert got == 0.0
+
+
+def test_pyramid_recovers_even_shift(rng):
+    # An even full-resolution shift lands exactly on the half-res search
+    # grid, so the scaled-back magnitude matches the true displacement.
+    base = rng.integers(0, 256, (96, 128)).astype(np.float32)
+    curr = np.roll(np.roll(base, 4, axis=0), 6, axis=1)
+    got = float(np.asarray(
+        jmotion.block_match_motion_pyramid(base[None], curr[None], block=16, radius=8)
+    )[0])
+    expected = oracle.block_match_motion_pyramid(base, curr, block=16, radius=8)
+    assert got == pytest.approx(expected, rel=1e-6)
+    assert got == pytest.approx(np.hypot(4, 6), rel=0.35)  # borders dilute
+
+
 def test_fps_variation():
     ts = np.array([0.0, 100.0, 200.0, 200.0, 300.0], np.float64)
     valid = np.ones(5, bool)

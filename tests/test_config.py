@@ -48,6 +48,8 @@ def test_reference_config_loads(tmp_path):
         {"streaming_complexity": 1},
         {"quality_precision": "bf16"},
         {"quality_precision": True},
+        {"motion_search": "farneback"},
+        {"motion_search": 2},
     ],
 )
 def test_invalid_configs_rejected(tmp_path, patch):
@@ -59,11 +61,13 @@ def test_invalid_configs_rejected(tmp_path, patch):
 
 def test_valid_preset_and_streaming_flags(tmp_path):
     raw = dict(
-        REFERENCE_DEFAULTS, preset="veryfast", streaming_complexity=True
+        REFERENCE_DEFAULTS, preset="veryfast", streaming_complexity=True,
+        motion_search="full",
     )
     cfg = load_config(write_cfg(tmp_path, raw))
     assert cfg.preset == "veryfast"
     assert cfg.streaming_complexity is True
+    assert cfg.motion_search == "full"
 
 
 def test_quality_precision_values(tmp_path):

@@ -27,6 +27,22 @@ def test_block_match_pallas_static(rng):
     assert float(got[0]) == 0.0
 
 
+def test_block_match_pyramid_pallas_matches_xla(rng):
+    # The production complexity default: half-res search with block/2,
+    # radius/2 through the VMEM kernel (bench runs this path on TPU).
+    from rtvqa_tpu.ops.motion import block_match_motion_pyramid
+
+    prev = rng.integers(0, 256, (2, 68, 130)).astype(np.float32)  # odd dims
+    curr = np.stack(
+        [np.roll(np.roll(prev[i], 4, 0), -6, 1) for i in range(2)]
+    ).astype(np.float32)
+    got = np.asarray(block_match_motion_pyramid(
+        prev, curr, block=16, radius=8, impl="pallas", interpret=True
+    ))
+    exp = np.asarray(block_match_motion_pyramid(prev, curr, block=16, radius=8))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
 def test_block_match_pallas_wide_frame(rng):
     # >128 blocks per row (the 4K case) exercises multi-tile lane pooling.
     prev = rng.integers(0, 256, (1, 32, 2176)).astype(np.float32)

@@ -244,10 +244,12 @@ def adm_scale_pallas(
     """
     b, h, w = ref_y.shape
     h2, w2 = (h + 1) // 2, (w + 1) // 2
-    # Adaptive strip (round 3, as in vif_pallas): the ~15-25 us/cell Mosaic
-    # grid + DMA overhead dominates, and VMEM scales with strip x padded
-    # width — NARROW deeper scales afford taller strips (1080p: 17/9/5/3
-    # cells per frame drop to 17/5/2/1).
+    # Adaptive strip (round 3, as in vif_pallas): VMEM scales with strip x
+    # padded width — NARROW deeper scales afford taller strips (1080p:
+    # 17/9/5/3 cells per frame drop to 17/5/2/1). Doubling strips again
+    # (9/3/2/2 cells) was measured NEUTRAL on the v5e (131 vs 125 ms for
+    # 128x1080p all-scales): the kernel is compute/DMA-bound, not
+    # per-cell-overhead-bound — don't re-derive this.
     if w >= 1536:
         strip = STRIP
     elif w >= 640:

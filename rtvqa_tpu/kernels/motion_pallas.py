@@ -135,7 +135,13 @@ def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
     b = curr_p.shape[0]
     wq = curr_p.shape[2]
     n_blockrows = hb // block
-    kb = min(4, n_blockrows)  # block-rows per grid cell
+    # Block-rows per grid cell: for small blocks (the pyramid search at
+    # block/2) target ~128 pixel rows per cell so the ~15-25 us Mosaic grid +
+    # DMA cost per cell stays amortized. Full-res block>=16 stays at kb=4:
+    # kb=8 at 1080p overflows the 64 MB scoped-VMEM budget (measured 78 MB —
+    # the unrolled displacement loop's temporaries scale with kb*block*wq)
+    # and kb=4 = kb=1 there anyway (compute-bound).
+    kb = min(n_blockrows, 4 if block >= 16 else 128 // block)
     n_strips = -(-n_blockrows // kb)
     hb2 = n_strips * kb * block
     if hb2 > hb:  # ragged: pad rows (masked out in-kernel via n_blockrows)

@@ -45,7 +45,7 @@ from rtvqa_tpu.ops.edges import canny_edge_count
 from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
 from rtvqa_tpu.ops.motion import (
     block_match_motion,
-    block_match_motion_pyramid,
+    block_match_motion_pyramid_series,
     fps_variation,
 )
 from rtvqa_tpu.ops.orb import orb_keypoint_count
@@ -130,8 +130,8 @@ def complexity_suite(
     # -- motion: block matching on full-res gray pairs (reference runs
     #    Farneback unresized, complexity_metrics.py:313-343).
     if motion_search == "pyramid":
-        motion_series = block_match_motion_pyramid(
-            prev_g, curr_g, block=block, radius=radius, impl=motion_impl
+        motion_series = block_match_motion_pyramid_series(
+            gray_full, block=block, radius=radius, impl=motion_impl
         )
     elif motion_impl == "pallas":
         from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas

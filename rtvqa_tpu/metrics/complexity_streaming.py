@@ -27,7 +27,7 @@ import numpy as np
 
 from rtvqa_tpu.io.stream import VideoStream, prefetch
 from rtvqa_tpu.metrics.complexity import ComplexityResult, METRIC_ORDER
-from rtvqa_tpu.parallel.sharding import _per_frame_values
+from rtvqa_tpu.parallel.sharding import _per_frame_values_series
 
 # Packed row order for the seven device-computed values (framerate variation
 # is computed on the host from timestamps).
@@ -45,18 +45,20 @@ def _chunk_values(
     motion_search="pyramid",
 ):
     """Per-frame complexity values for one chunk; the previous-frame operand
-    is built ON DEVICE from the carried 1-frame tail (uploading a host-built
+    is the carried 1-frame tail PREPENDED on device (uploading a host-built
     prev array would double the chunk's host→device bytes — the dominant cost
-    on remote-execution tunnels)."""
-    prev_y = jnp.concatenate([tail_y[None], y[:-1]], axis=0)
-    prev_u = jnp.concatenate([tail_u[None], u[:-1]], axis=0)
-    prev_v = jnp.concatenate([tail_v[None], v[:-1]], axis=0)
-    vals = _per_frame_values(
-        y[None], u[None], v[None], prev_y[None], prev_u[None], prev_v[None],
+    on remote-execution tunnels), and the extended series runs through the
+    series-form kernel: gray conversion, resize, and the pyramid downsample
+    happen once over N+1 frames instead of twice over N."""
+    y_ext = jnp.concatenate([tail_y[None], y], axis=0)
+    u_ext = jnp.concatenate([tail_u[None], u], axis=0)
+    v_ext = jnp.concatenate([tail_v[None], v], axis=0)
+    vals = _per_frame_values_series(
+        y_ext, u_ext, v_ext,
         resize_h=resize_h, resize_w=resize_w, block=block, radius=radius,
         edge_low=edge_low, edge_high=edge_high, motion_search=motion_search,
     )
-    return jnp.stack([vals[k][0].astype(jnp.float32) for k in VALUE_KEYS])
+    return jnp.stack([vals[k].astype(jnp.float32) for k in VALUE_KEYS])
 
 
 def _ewm_mean_host(series: np.ndarray, alpha: float) -> float:

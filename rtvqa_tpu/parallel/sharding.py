@@ -38,7 +38,11 @@ from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
 from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
-from rtvqa_tpu.ops.motion import block_match_motion, block_match_motion_pyramid
+from rtvqa_tpu.ops.motion import (
+    block_match_motion,
+    block_match_motion_pyramid,
+    block_match_motion_pyramid_series,
+)
 from rtvqa_tpu.ops.orb import orb_keypoint_count
 from rtvqa_tpu.ops.resize import resize_bilinear
 from rtvqa_tpu.ops.scan import ewm_mean_masked, masked_mean
@@ -87,6 +91,50 @@ def _per_frame_values(
         )
     )
     tdct = temporal_dct_abs_diff(prev_gray_rs, gray_rs)
+    return {
+        "motion": motion, "dct": dct, "histogram": hist, "edge": edge,
+        "orb": orb, "color": color, "temporal_dct": tdct,
+    }
+
+
+def _per_frame_values_series(
+    y_ext, u_ext, v_ext, *,
+    resize_h, resize_w, block, radius, edge_low, edge_high,
+    motion_search="pyramid",
+):
+    """Series form of ``_per_frame_values`` for one prev-prepended frame
+    series (N+1, H, W): gray conversion, resize, and the pyramid downsample
+    run ONCE over N+1 frames instead of twice over N (they are
+    HBM-bandwidth-bound — the pairwise form re-reads 99%-overlapping
+    slices). Returns per-frame values for the N trailing frames.
+
+    Used by the streaming accumulator; the sharded suite keeps the pairwise
+    form (its prev frames arrive as a ppermute halo, not a series slice).
+    """
+    gray_ext = yuv420_to_gray(y_ext, u_ext, v_ext)
+    rgb = yuv420_to_rgb(y_ext[1:], u_ext[1:], v_ext[1:])
+
+    if motion_search == "pyramid":
+        motion = block_match_motion_pyramid_series(
+            gray_ext, block=block, radius=radius
+        )
+    else:
+        motion = block_match_motion(
+            gray_ext[:-1], gray_ext[1:], block=block, radius=radius
+        )
+
+    gray_rs_ext = resize_bilinear(gray_ext, resize_h, resize_w)
+    gray_rs = gray_rs_ext[1:]
+    dct = dct_energy(gray_rs)
+    hist = gray_entropy(gray_rs)
+    edge = canny_edge_count(gray_rs, edge_low, edge_high)
+    orb = orb_keypoint_count(resize_bilinear(gray_ext[1:], ORB_SIZE, ORB_SIZE))
+    color = color_entropy(
+        jnp.moveaxis(
+            resize_bilinear(jnp.moveaxis(rgb, -1, -3), resize_h, resize_w), -3, -1
+        )
+    )
+    tdct = temporal_dct_abs_diff(gray_rs_ext[:-1], gray_rs)
     return {
         "motion": motion, "dct": dct, "histogram": hist, "edge": edge,
         "orb": orb, "color": color, "temporal_dct": tdct,

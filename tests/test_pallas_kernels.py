@@ -43,6 +43,20 @@ def test_block_match_pyramid_pallas_matches_xla(rng):
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
 
 
+def test_block_match_pallas_large_kb_ragged(rng):
+    # block=8 triggers kb=16 block-rows per cell; 150 rows -> 18 block-rows
+    # = 2 strips with a ragged, masked-out tail (14 padded block-rows).
+    prev = rng.integers(0, 256, (2, 150, 128)).astype(np.float32)
+    curr = np.stack(
+        [np.roll(np.roll(prev[i], 2, 0), -1, 1) for i in range(2)]
+    ).astype(np.float32)
+    got = np.asarray(
+        block_match_motion_pallas(prev, curr, block=8, radius=4, interpret=True)
+    )
+    exp = np.asarray(block_match_motion(prev, curr, block=8, radius=4))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
 def test_block_match_pallas_wide_frame(rng):
     # >128 blocks per row (the 4K case) exercises multi-tile lane pooling.
     prev = rng.integers(0, 256, (1, 32, 2176)).astype(np.float32)

@@ -367,10 +367,23 @@ def run_validate(out_path: str) -> int:
         ryf = jax.device_put(ry.astype(np.float32))
         dyf = jax.device_put(dy.astype(np.float32))
 
-        vp = {k: np.asarray(v) for k, v in vif_features_pallas(ryf, dyf).items()}
+        # Exact mode: bit-for-algorithm equivalence with the XLA oracle.
         vx = {k: np.asarray(v) for k, v in vif_features(ryf, dyf).items()}
+        vp = {
+            k: np.asarray(v)
+            for k, v in vif_features_pallas(ryf, dyf, fast3=False).items()
+        }
         for k in vp:
             check(f"vif/{k}/{label}", vp[k], vx[k], 2e-5)
+        # FAST3 (the TPU production default, scales <= 1): manual 3-pass
+        # bf16 filter matmuls, documented feature-error budget ~5e-4
+        # (docs/PARITY.md) — far inside the 0.1 VMAF score target.
+        vf = {
+            k: np.asarray(v)
+            for k, v in vif_features_pallas(ryf, dyf, fast3=True).items()
+        }
+        for k in vf:
+            check(f"vif_fast3/{k}/{label}", vf[k], vx[k], 5e-4)
 
         ap = {k: np.asarray(v) for k, v in adm_features_pallas(ryf, dyf).items()}
         ax = {k: np.asarray(v) for k, v in adm_features(ryf, dyf).items()}
@@ -410,7 +423,9 @@ def run_validate(out_path: str) -> int:
                 rng.integers(0, 256, (h, w)).astype(np.float32), FILTER_5
             )
         )
-        fq = quality_fused_pallas(ryq, ru, ru, dyq, du, du, pb)
+        # Exact mode (PSNR/SSIM/SAD are exact in EVERY mode; fast3 only
+        # affects the VIF filter matmuls — checked at its budget below).
+        fq = quality_fused_pallas(ryq, ru, ru, dyq, du, du, pb, fast3=False)
         p = psnr_frames(ry, ru, ru, dy, du, du)
         s = ssim_frames(ry, ru, ru, dy, du, du)
         check(f"fusedA/mse_y/{label}", np.asarray(fq["sse_y"]) / (h * w),
@@ -428,6 +443,9 @@ def run_validate(out_path: str) -> int:
               np.asarray(fq["sad_sum"]) / (h * w), sad_exp, 1e-4)
         check(f"fusedA/vif0/{label}", np.asarray(fq["vif_scale0"]),
               vx["vif_scale0"], 2e-5)
+        fq3 = quality_fused_pallas(ryq, ru, ru, dyq, du, du, pb, fast3=True)
+        check(f"fusedA/vif0_fast3/{label}", np.asarray(fq3["vif_scale0"]),
+              vx["vif_scale0"], 5e-4)
 
     artifact = {
         "backend": jax.default_backend(),

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb
+from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb_planes
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
 from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
@@ -121,7 +121,6 @@ def complexity_suite(
     idx = jnp.arange(n_pad)
 
     gray_full = yuv420_to_gray(y, u, v)                      # (N, H, W) f32
-    rgb = yuv420_to_rgb(y, u, v)                             # (N, H, W, 3)
 
     curr_g = gray_full[1:]
     prev_g = gray_full[:-1]
@@ -151,10 +150,14 @@ def complexity_suite(
     gray_orb = resize_bilinear(curr_g, ORB_SIZE, ORB_SIZE)
     orb_series = orb_keypoint_count(gray_orb)
 
-    rgb_rs = resize_bilinear(
-        jnp.moveaxis(rgb[1:], -1, 1), resize_h, resize_w
-    )                                                         # (N-1, 3, rh, rw)
-    color_series = color_entropy(jnp.moveaxis(rgb_rs, 1, -1))
+    # Per-plane RGB: no (N, H, W, 3) materialization or relayout — the
+    # conversion fuses into each plane's resize matmul reads.
+    rp, gp, bp = yuv420_to_rgb_planes(y[1:], u[1:], v[1:])
+    rgb_rs = jnp.stack(
+        [resize_bilinear(c, resize_h, resize_w) for c in (rp, gp, bp)],
+        axis=-1,
+    )                                                         # (N-1, rh, rw, 3)
+    color_series = color_entropy(rgb_rs)
 
     # -- temporal DCT on consecutive first-of-pair frames (N-2 values),
     #    reference calculate_temporal_dct (complexity_metrics.py:506-541).

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb_planes
+from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
 from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
@@ -150,14 +150,16 @@ def complexity_suite(
     gray_orb = resize_bilinear(curr_g, ORB_SIZE, ORB_SIZE)
     orb_series = orb_keypoint_count(gray_orb)
 
-    # Per-plane RGB: no (N, H, W, 3) materialization or relayout — the
-    # conversion fuses into each plane's resize matmul reads.
-    rp, gp, bp = yuv420_to_rgb_planes(y[1:], u[1:], v[1:])
-    rgb_rs = jnp.stack(
-        [resize_bilinear(c, resize_h, resize_w) for c in (rp, gp, bp)],
-        axis=-1,
-    )                                                         # (N-1, rh, rw, 3)
-    color_series = color_entropy(rgb_rs)
+    # Channel-batched layout: one (N-1, 3, H, W) tensor through one pair of
+    # batched resize matmuls. A per-plane yuv420_to_rgb_planes split was
+    # measured EQUAL within session noise on the v5e (device throughput
+    # varies ~25% between tunnel sessions — A/B only within one session);
+    # the batched form is kept as the longer-proven one.
+    rgb = yuv420_to_rgb(y[1:], u[1:], v[1:])                  # (N-1, H, W, 3)
+    rgb_rs = resize_bilinear(
+        jnp.moveaxis(rgb, -1, 1), resize_h, resize_w
+    )                                                         # (N-1, 3, rh, rw)
+    color_series = color_entropy(jnp.moveaxis(rgb_rs, 1, -1))
 
     # -- temporal DCT on consecutive first-of-pair frames (N-2 values),
     #    reference calculate_temporal_dct (complexity_metrics.py:506-541).

@@ -34,6 +34,7 @@ and 4K and writes a committed artifact (VERDICT r2 next #7).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import subprocess
@@ -173,6 +174,105 @@ def phase_all() -> int:
     qual_dt = (time.perf_counter() - t0) / REPS
     print(f"PHASE_SECONDS quality {qual_dt}", flush=True)
     note("all phases done")
+    return 0
+
+
+def phase_4k() -> int:
+    """4K (2160x3840) device-program throughput, measured like the headline:
+    quality chunks at the production auto_chunk (16 — the fused kernel routes
+    >2048-lane widths to the XLA-A + Pallas-VIF/ADM composition), complexity
+    at 32 frames (same HBM footprint as 128x1080p). Prints PHASE_SECONDS
+    lines normalized to SECONDS PER FRAME so the parent can combine them."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtvqa_tpu.metrics.complexity import complexity_suite_packed
+    from rtvqa_tpu.metrics.full_reference import _program_chunk, auto_chunk
+    from rtvqa_tpu.obs.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    h4, w4 = 2160, 3840
+    nq = auto_chunk(w4, h4)   # production 4K chunk (16)
+    nc = 32
+    t_start = time.perf_counter()
+
+    def note(msg):
+        print(f"[bench] {msg} (+{time.perf_counter() - t_start:.1f}s)", flush=True)
+
+    np.asarray(jax.jit(lambda: jnp.zeros(8, jnp.float32))())
+    note("first-fetch sync done")
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def gen(seed, n):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        fi = jax.lax.broadcasted_iota(jnp.int32, (n, h4, w4), 0)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (n, h4, w4), 1)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (n, h4, w4), 2)
+        base = (xx * 3 + yy * 2 + 7 * fi) % 256
+        y = jnp.clip(
+            base + jax.random.randint(k1, (n, h4, w4), 0, 8, jnp.int32), 0, 255
+        ).astype(jnp.uint8)
+        u = jax.random.randint(
+            k2, (n, h4 // 2, w4 // 2), 100, 156, jnp.int32
+        ).astype(jnp.uint8)
+        v = jax.random.randint(
+            k3, (n, h4 // 2, w4 // 2), 100, 156, jnp.int32
+        ).astype(jnp.uint8)
+        return y, u, v
+
+    @jax.jit
+    def distort(y, seed):
+        n = jax.random.randint(jax.random.PRNGKey(seed), y.shape, -4, 5, jnp.int16)
+        return jnp.clip(y.astype(jnp.int16) + n, 0, 255).astype(jnp.uint8)
+
+    y, u, v = gen(0, nc)
+    dy = distort(y[:nq], 1)
+    np.asarray(dy[0, 0, :8])
+    note(f"4K inputs staged (quality chunk {nq}, complexity batch {nc})")
+
+    ts = [
+        jax.device_put((np.arange(nc) * 33.3 + rep).astype(np.float32))
+        for rep in range(REPS + 1)
+    ]
+    n_valid = np.int32(nc)
+
+    def run_c(t):
+        np.asarray(complexity_suite_packed(
+            y, u, v, t, n_valid, resize_h=64, resize_w=64, motion_impl="pallas"
+        ))
+
+    run_c(ts[-1])
+    note("4K complexity compiled + warm")
+    t0 = time.perf_counter()
+    for rep in range(REPS):
+        run_c(ts[rep])
+    comp_spf = (time.perf_counter() - t0) / REPS / nc
+    print(f"PHASE_SECONDS complexity4k_spf {comp_spf}", flush=True)
+
+    fill = jax.jit(lambda c: jnp.full((h4, w4), c, jnp.float32))
+    blurs = [fill(np.float32(1e-3 * (rep + 1))) for rep in range(REPS + 1)]
+
+    def run_q(blur):
+        packed, _ = _program_chunk(
+            y[:nq], u[:nq], v[:nq], dy, u[:nq], v[:nq], blur, True
+        )
+        np.asarray(packed)
+
+    run_q(blurs[-1])
+    note("4K quality compiled + warm")
+    t0 = time.perf_counter()
+    for rep in range(REPS):
+        run_q(blurs[rep])
+    qual_spf = (time.perf_counter() - t0) / REPS / nq
+    print(f"PHASE_SECONDS quality4k_spf {qual_spf}", flush=True)
+    fps = 1.0 / (comp_spf + qual_spf)
+    print(f"[bench] 4K full-suite: {fps:.1f} f/s/chip "
+          f"(quality {qual_spf*1000:.1f} ms/frame + complexity "
+          f"{comp_spf*1000:.1f} ms/frame)", flush=True)
+    print(json.dumps({
+        "metric": "4k_full_suite_frames_per_sec_per_chip",
+        "value": round(fps, 3), "unit": "frames/sec/chip",
+    }))
     return 0
 
 
@@ -527,7 +627,7 @@ def _save_lastgood(rec: dict) -> None:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--phase", choices=["all", "e2e"], default=None)
+    parser.add_argument("--phase", choices=["all", "e2e", "4k"], default=None)
     parser.add_argument(
         "--e2e", action="store_true",
         help="Report the decode-included end-to-end fps instead of the "
@@ -546,6 +646,8 @@ def main():
     if args.phase == "e2e":
         phase_e2e()
         return 0
+    if args.phase == "4k":
+        return phase_4k()
     if args.validate:
         return run_validate(args.validate)
 

@@ -37,12 +37,12 @@ VALUE_KEYS = ("motion", "dct", "histogram", "edge", "orb", "color", "temporal_dc
 @functools.partial(
     jax.jit,
     static_argnames=("resize_h", "resize_w", "block", "radius", "edge_low",
-                     "edge_high", "motion_search"),
+                     "edge_high", "motion_search", "motion_impl"),
 )
 def _chunk_values(
     y, u, v, tail_y, tail_u, tail_v, *,
     resize_h, resize_w, block=16, radius=8, edge_low=100.0, edge_high=200.0,
-    motion_search="pyramid",
+    motion_search="pyramid", motion_impl="xla",
 ):
     """Per-frame complexity values for one chunk; the previous-frame operand
     is the carried 1-frame tail PREPENDED on device (uploading a host-built
@@ -57,6 +57,7 @@ def _chunk_values(
         y_ext, u_ext, v_ext,
         resize_h=resize_h, resize_w=resize_w, block=block, radius=radius,
         edge_low=edge_low, edge_high=edge_high, motion_search=motion_search,
+        motion_impl=motion_impl,
     )
     return jnp.stack([vals[k].astype(jnp.float32) for k in VALUE_KEYS])
 
@@ -107,6 +108,7 @@ class ComplexityAccumulator:
         block: int = 16,
         radius: int = 8,
         motion_search: str = "pyramid",
+        motion_impl: Optional[str] = None,
     ):
         self.resize_width = resize_width
         self.resize_height = resize_height
@@ -115,6 +117,9 @@ class ComplexityAccumulator:
         self.block = block
         self.radius = radius
         self.motion_search = motion_search
+        if motion_impl is None:  # auto, as in metrics.complexity
+            motion_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        self.motion_impl = motion_impl
         self.values: dict[str, list[np.ndarray]] = {k: [] for k in VALUE_KEYS}
         self.timestamps: list[np.ndarray] = []
         self.n_total = 0
@@ -197,6 +202,7 @@ class ComplexityAccumulator:
                 resize_h=self.resize_height, resize_w=self.resize_width,
                 block=self.block, radius=self.radius,
                 motion_search=self.motion_search,
+                motion_impl=self.motion_impl,
             )
         )  # one fetch per chunk
         # Carry the last VALID frame as the next chunk's tail, on device

@@ -102,7 +102,7 @@ def _per_frame_values(
 def _per_frame_values_series(
     y_ext, u_ext, v_ext, *,
     resize_h, resize_w, block, radius, edge_low, edge_high,
-    motion_search="pyramid",
+    motion_search="pyramid", motion_impl="xla",
 ):
     """Series form of ``_per_frame_values`` for one prev-prepended frame
     series (N+1, H, W): gray conversion, resize, and the pyramid downsample
@@ -112,12 +112,19 @@ def _per_frame_values_series(
 
     Used by the streaming accumulator; the sharded suite keeps the pairwise
     form (its prev frames arrive as a ppermute halo, not a series slice).
+    ``motion_impl``: "xla" or "pallas" (VMEM-staged search kernel, TPU only).
     """
     gray_ext = yuv420_to_gray(y_ext, u_ext, v_ext)
 
     if motion_search == "pyramid":
         motion = block_match_motion_pyramid_series(
-            gray_ext, block=block, radius=radius
+            gray_ext, block=block, radius=radius, impl=motion_impl
+        )
+    elif motion_impl == "pallas":
+        from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
+
+        motion = block_match_motion_pallas(
+            gray_ext[:-1], gray_ext[1:], block=block, radius=radius
         )
     else:
         motion = block_match_motion(

@@ -68,6 +68,41 @@ def make_frames(n, h=H, w=W, seed=0):
     return y, u, v
 
 
+def device_frame_fns(n, h, w):
+    """Jitted on-device synthetic frame generators shared by every device
+    phase (1080p headline, 4K phase, scripts/profile_*): same gradient+noise
+    recipe as ``make_frames`` so all measurements see content-equivalent
+    inputs. Returns (gen(seed) -> (y, u, v), distort(y, seed) -> dy)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(seed):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        fi = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 0)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
+        base = (xx * 3 + yy * 2 + 7 * fi) % 256
+        noise = jax.random.randint(k1, (n, h, w), 0, 8, jnp.int32)
+        y = jnp.clip(base + noise, 0, 255).astype(jnp.uint8)
+        u = jax.random.randint(
+            k2, (n, h // 2, w // 2), 100, 156, jnp.int32
+        ).astype(jnp.uint8)
+        v = jax.random.randint(
+            k3, (n, h // 2, w // 2), 100, 156, jnp.int32
+        ).astype(jnp.uint8)
+        return y, u, v
+
+    @jax.jit
+    def distort(y, seed):
+        noise = jax.random.randint(
+            jax.random.PRNGKey(seed), y.shape, -4, 5, dtype=jnp.int16
+        )
+        return jnp.clip(y.astype(jnp.int16) + noise, 0, 255).astype(jnp.uint8)
+
+    return gen, distort
+
+
 # ---------------------------------------------------------------------------
 # Child: both device phases in one process
 # ---------------------------------------------------------------------------
@@ -100,32 +135,9 @@ def phase_all() -> int:
     # ALL inputs synthesized ON DEVICE: the 398 MB ref batch took ~3 min of
     # host generation + wire upload (measured; the tunnel runs at 13-35
     # MB/s), and the measured kernels are content-independent (static
-    # shapes, exact-SAD full search, no data-dependent control flow) — the
+    # shapes, exact-SAD search, no data-dependent control flow) — the
     # same gradient+noise content as make_frames, built from iota + TPU PRNG.
-    @jax.jit
-    def gen_ref(seed):
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-        fi = jax.lax.broadcasted_iota(jnp.int32, (N_DEVICE, H, W), 0)
-        yy = jax.lax.broadcasted_iota(jnp.int32, (N_DEVICE, H, W), 1)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (N_DEVICE, H, W), 2)
-        base = (xx * 3 + yy * 2 + 7 * fi) % 256
-        noise = jax.random.randint(k1, (N_DEVICE, H, W), 0, 8, jnp.int32)
-        y = jnp.clip(base + noise, 0, 255).astype(jnp.uint8)
-        u = jax.random.randint(
-            k2, (N_DEVICE, H // 2, W // 2), 100, 156, jnp.int32
-        ).astype(jnp.uint8)
-        v = jax.random.randint(
-            k3, (N_DEVICE, H // 2, W // 2), 100, 156, jnp.int32
-        ).astype(jnp.uint8)
-        return y, u, v
-
-    @jax.jit
-    def make_dis(y, seed):
-        noise = jax.random.randint(
-            jax.random.PRNGKey(seed), y.shape, -4, 5, dtype=jnp.int16
-        )
-        return jnp.clip(y.astype(jnp.int16) + noise, 0, 255).astype(jnp.uint8)
-
+    gen_ref, make_dis = device_frame_fns(N_DEVICE, H, W)
     ry, ru, rv = gen_ref(0)
     dy = make_dis(ry, 1)
     np.asarray(dy[0, 0, :8])  # tiny fetch: serializes the on-device synthesis
@@ -202,30 +214,8 @@ def phase_4k() -> int:
     np.asarray(jax.jit(lambda: jnp.zeros(8, jnp.float32))())
     note("first-fetch sync done")
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def gen(seed, n):
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-        fi = jax.lax.broadcasted_iota(jnp.int32, (n, h4, w4), 0)
-        yy = jax.lax.broadcasted_iota(jnp.int32, (n, h4, w4), 1)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (n, h4, w4), 2)
-        base = (xx * 3 + yy * 2 + 7 * fi) % 256
-        y = jnp.clip(
-            base + jax.random.randint(k1, (n, h4, w4), 0, 8, jnp.int32), 0, 255
-        ).astype(jnp.uint8)
-        u = jax.random.randint(
-            k2, (n, h4 // 2, w4 // 2), 100, 156, jnp.int32
-        ).astype(jnp.uint8)
-        v = jax.random.randint(
-            k3, (n, h4 // 2, w4 // 2), 100, 156, jnp.int32
-        ).astype(jnp.uint8)
-        return y, u, v
-
-    @jax.jit
-    def distort(y, seed):
-        n = jax.random.randint(jax.random.PRNGKey(seed), y.shape, -4, 5, jnp.int16)
-        return jnp.clip(y.astype(jnp.int16) + n, 0, 255).astype(jnp.uint8)
-
-    y, u, v = gen(0, nc)
+    gen, distort = device_frame_fns(nc, h4, w4)
+    y, u, v = gen(0)
     dy = distort(y[:nq], 1)
     np.asarray(dy[0, 0, :8])
     note(f"4K inputs staged (quality chunk {nq}, complexity batch {nc})")
@@ -251,11 +241,12 @@ def phase_4k() -> int:
 
     fill = jax.jit(lambda c: jnp.full((h4, w4), c, jnp.float32))
     blurs = [fill(np.float32(1e-3 * (rep + 1))) for rep in range(REPS + 1)]
+    # Slice the quality operands ONCE outside the timed loop (each slice is
+    # its own tunnel program dispatch, ~40 ms fixed cost).
+    yq, uq, vq = y[:nq], u[:nq], v[:nq]
 
     def run_q(blur):
-        packed, _ = _program_chunk(
-            y[:nq], u[:nq], v[:nq], dy, u[:nq], v[:nq], blur, True
-        )
+        packed, _ = _program_chunk(yq, uq, vq, dy, uq, vq, blur, True)
         np.asarray(packed)
 
     run_q(blurs[-1])

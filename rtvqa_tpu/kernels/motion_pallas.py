@@ -135,13 +135,19 @@ def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
     b = curr_p.shape[0]
     wq = curr_p.shape[2]
     n_blockrows = hb // block
-    # Block-rows per grid cell: for small blocks (the pyramid search at
-    # block/2) target ~128 pixel rows per cell so the ~15-25 us Mosaic grid +
-    # DMA cost per cell stays amortized. Full-res block>=16 stays at kb=4:
-    # kb=8 at 1080p overflows the 64 MB scoped-VMEM budget (measured 78 MB —
-    # the unrolled displacement loop's temporaries scale with kb*block*wq)
-    # and kb=4 = kb=1 there anyway (compute-bound).
-    kb = min(n_blockrows, 4 if block >= 16 else 128 // block)
+    # Block-rows per grid cell: taller cells amortize the ~15-25 us Mosaic
+    # grid + DMA cost (the half-res pyramid search was overhead-bound at
+    # kb=4), but the unrolled displacement loop's scoped-VMEM temporaries
+    # scale with side x cell-rows x lanes: kb=8/block=16/r=8 at 2048 lanes
+    # (4.45M units) measured 78 MB > the 64 MB budget, while the known-good
+    # configs sit at <= 2.2M units (kb=4 full-res) and 1.18M (kb=16
+    # half-res). Budget on that unit product — NOT on block alone: a direct
+    # full-radius call with small blocks (block=8, r=8, 1920 lanes) must
+    # stay at kb=4, only the halved-radius pyramid shapes afford kb=16.
+    side_u = 2 * radius + 1
+    budget_kb = 3_000_000 // max(side_u * block * wq, 1)
+    kb = 16 if budget_kb >= 16 else (4 if budget_kb >= 4 else max(1, budget_kb))
+    kb = min(kb, n_blockrows)
     n_strips = -(-n_blockrows // kb)
     hb2 = n_strips * kb * block
     if hb2 > hb:  # ragged: pad rows (masked out in-kernel via n_blockrows)

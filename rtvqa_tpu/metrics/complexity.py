@@ -151,8 +151,8 @@ def complexity_suite(
     orb_series = orb_keypoint_count(gray_orb)
 
     # Channel-batched layout: one (N-1, 3, H, W) tensor through one pair of
-    # batched resize matmuls. A per-plane yuv420_to_rgb_planes split was
-    # measured EQUAL within session noise on the v5e (device throughput
+    # batched resize matmuls. A per-plane (r, g, b)-tuple conversion split
+    # was measured EQUAL within session noise on the v5e (device throughput
     # varies ~25% between tunnel sessions — A/B only within one session);
     # the batched form is kept as the longer-proven one.
     rgb = yuv420_to_rgb(y[1:], u[1:], v[1:])                  # (N-1, H, W, 3)

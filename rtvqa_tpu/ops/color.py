@@ -49,27 +49,6 @@ def yuv420_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     return jnp.clip(rgb, 0.0, 255.0)
 
 
-def yuv420_to_rgb_planes(
-    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Planar YUV420 -> three (..., H, W) float32 planes (R, G, B) in [0,255].
-
-    Same arithmetic as ``yuv420_to_rgb`` without the channel-last stack: at
-    1080p batch scale the stacked layout materializes a (N, H, W, 3) tensor
-    whose downstream per-channel use (resize, histograms) forces a multi-GB
-    relayout — per-plane results fuse into those consumers instead.
-    """
-    yf = y.astype(jnp.float32) - 16.0
-    uf = upsample_chroma(u.astype(jnp.float32)) - 128.0
-    vf = upsample_chroma(v.astype(jnp.float32)) - 128.0
-    uf = uf[..., : y.shape[-2], : y.shape[-1]]
-    vf = vf[..., : y.shape[-2], : y.shape[-1]]
-    r = jnp.clip(_Y_SCALE * yf + _V_R * vf, 0.0, 255.0)
-    g = jnp.clip(_Y_SCALE * yf + _U_G * uf + _V_G * vf, 0.0, 255.0)
-    b = jnp.clip(_Y_SCALE * yf + _U_B * uf, 0.0, 255.0)
-    return r, g, b
-
-
 def yuv420_to_gray(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Planar YUV420 -> float32 gray in [0,255], matching the reference's
     decode-to-BGR-then-``cv2.COLOR_BGR2GRAY`` path to rounding tolerance.

@@ -153,9 +153,9 @@ def block_match_motion_pyramid_series(
 
     Equivalent to ``block_match_motion_pyramid(g[:-1], g[1:])`` but pools the
     series ONCE — the 2x2-mean downsample is HBM-bandwidth-bound (~29 ms for
-    128 x 1080p on the v5e, strided-slice reads), and the pairwise form pays
-    it twice on 99%-overlapping slices (frame-axis slicing commutes with
-    spatial pooling).
+    128 x 1080p on the v5e even in the reshape-reduce form, see
+    ``down2_mean``), and the pairwise form pays it twice on 99%-overlapping
+    slices (frame-axis slicing commutes with spatial pooling).
     """
     bp = max(block // 2, 1)
     rp = max(radius // 2, 1)

@@ -39,27 +39,10 @@ def main():
     np.asarray(jax.jit(lambda: jnp.zeros(8, jnp.float32))())
     note("first-fetch sync done")
 
-    @jax.jit
-    def gen(seed):
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        fi = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 0)
-        yy = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 1)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 2)
-        base = (xx * 3 + yy * 2 + 7 * fi) % 256
-        y = jnp.clip(
-            base + jax.random.randint(k1, (N, H, W), 0, 8, jnp.int32), 0, 255
-        ).astype(jnp.uint8)
-        u = jax.random.randint(
-            k2, (N, H // 2, W // 2), 100, 156, jnp.int32
-        ).astype(jnp.uint8)
-        return y, u
+    import bench
 
-    @jax.jit
-    def distort(y, seed):
-        n = jax.random.randint(jax.random.PRNGKey(seed), y.shape, -4, 5, jnp.int16)
-        return jnp.clip(y.astype(jnp.int16) + n, 0, 255).astype(jnp.uint8)
-
-    ry, ru = gen(0)
+    gen, distort = bench.device_frame_fns(N, H, W)
+    ry, ru, _rv = gen(0)
     dy = distort(ry, 1)
     np.asarray(dy[0, 0, :8])
     note("inputs synthesized on-device")

@@ -5,7 +5,6 @@ from rtvqa_tpu.ops.color import (
     yuv420_to_gray,
     yuv420_to_gray_np,
     yuv420_to_rgb,
-    yuv420_to_rgb_planes,
 )
 from rtvqa_tpu.ops.resize import resize_bilinear, resize_bilinear_np
 
@@ -32,18 +31,6 @@ def test_yuv_rgb_roundtrip_noise(rng):
     assert float(np.mean(np.abs(back - rgb.astype(np.float32)))) < 60.0
     y2, _, _ = rgb_to_yuv420_np(np.clip(np.rint(back), 0, 255).astype(np.uint8))
     assert float(np.mean(np.abs(y2.astype(np.float32) - y.astype(np.float32)))) < 2.5
-
-
-def test_rgb_planes_match_stacked(rng):
-    # The relayout-free per-plane form is arithmetically identical to
-    # yuv420_to_rgb's channels (incl. the out-of-gamut clip).
-    y = rng.integers(0, 256, (2, 24, 32), np.uint8)
-    u = rng.integers(0, 256, (2, 12, 16), np.uint8)
-    v = rng.integers(0, 256, (2, 12, 16), np.uint8)
-    stacked = np.asarray(yuv420_to_rgb(y, u, v))
-    planes = [np.asarray(p) for p in yuv420_to_rgb_planes(y, u, v)]
-    for c in range(3):
-        np.testing.assert_array_equal(planes[c], stacked[..., c])
 
 
 def test_gray_matches_oracle(rng):

@@ -57,6 +57,20 @@ def test_block_match_pallas_large_kb_ragged(rng):
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
 
 
+def test_block_match_pallas_small_block_full_radius_wide(rng):
+    # block=8 with the FULL radius=8 on a wide frame: the scoped-VMEM budget
+    # (side x kb*block x lanes) must keep kb at 4 here — kb=16 at full
+    # radius was measured over the 64 MB budget on device. Interpret mode
+    # checks the chosen configuration's semantics.
+    prev = rng.integers(0, 256, (1, 64, 1408)).astype(np.float32)
+    curr = np.roll(np.roll(prev, 3, 1), -2, 2)
+    got = np.asarray(
+        block_match_motion_pallas(prev, curr, block=8, radius=8, interpret=True)
+    )
+    exp = np.asarray(block_match_motion(prev, curr, block=8, radius=8))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
 def test_block_match_pallas_wide_frame(rng):
     # >128 blocks per row (the 4K case) exercises multi-tile lane pooling.
     prev = rng.integers(0, 256, (1, 32, 2176)).astype(np.float32)

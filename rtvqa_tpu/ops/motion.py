@@ -101,10 +101,26 @@ def block_match_motion(
 def down2_mean(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 mean pooling (..., H, W) -> (..., H//2, W//2); odd tails cropped.
 
-    Reshape-reduce form: measured 29 ms vs 47 ms for the four-strided-slice
-    form on 128 x 1080p f32 (v5e — the strided lane reads are the
-    bandwidth pathology; XLA lowers the pair-reshape reduction better).
+    ``lax.reduce_window`` form — BITWISE equal to the reshape-reduce form
+    (probed on the v5e, max_abs_diff 0 on 128x1080p) but avoids its
+    lane-splitting reshape relayout: feeding the Pallas search kernel, the
+    pooling cost dropped ~389 ms -> ~4 ms standalone and the reshape form's
+    best in-situ showing was ~29 ms (scripts/probe_down2_chunk.py, round 3b).
+    The HIGHEST-precision pooling-matmul variants were ~15 ms slower AND only
+    equal to ~8e-6 (argmin tie-break hazard) — don't revisit.
     """
+    h = (x.shape[-2] // 2) * 2
+    w = (x.shape[-1] // 2) * 2
+    xc = x[..., :h, :w].astype(jnp.float32)
+    window = (1,) * (xc.ndim - 2) + (2, 2)
+    return 0.25 * jax.lax.reduce_window(
+        xc, 0.0, jax.lax.add, window, window, "VALID"
+    )
+
+
+def _down2_mean_reshape(x: jnp.ndarray) -> jnp.ndarray:
+    """The round-3a reshape-reduce form, kept for in-session A/B probes
+    (29 ms in-situ vs 47 ms for four strided slices at 128x1080p f32)."""
     h = (x.shape[-2] // 2) * 2
     w = (x.shape[-1] // 2) * 2
     xc = x[..., :h, :w].astype(jnp.float32)

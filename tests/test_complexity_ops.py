@@ -181,6 +181,18 @@ def test_pyramid_recovers_even_shift(rng):
     assert got == pytest.approx(np.hypot(4, 6), rel=0.35)  # borders dilute
 
 
+def test_down2_mean_bitwise_forms(rng):
+    # The pyramid argmin breaks ties by value, so the production
+    # reduce_window form must stay BITWISE equal to the reshape-reduce form
+    # and the NumPy oracle (sums of four u8-derived f32 values are exact and
+    # 0.25* is a power-of-two scale). Odd dims exercise the crop.
+    x = rng.integers(0, 256, (3, 53, 67)).astype(np.float32)
+    a = np.asarray(jmotion.down2_mean(x))
+    np.testing.assert_array_equal(a, np.asarray(jmotion._down2_mean_reshape(x)))
+    for i in range(x.shape[0]):  # the NumPy oracle is per-frame 2D
+        np.testing.assert_array_equal(a[i], oracle.down2_mean(x[i]))
+
+
 def test_fps_variation():
     ts = np.array([0.0, 100.0, 200.0, 200.0, 300.0], np.float64)
     valid = np.ones(5, bool)

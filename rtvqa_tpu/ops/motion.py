@@ -103,9 +103,12 @@ def down2_mean(x: jnp.ndarray) -> jnp.ndarray:
 
     ``lax.reduce_window`` form — BITWISE equal to the reshape-reduce form
     (probed on the v5e, max_abs_diff 0 on 128x1080p) but avoids its
-    lane-splitting reshape relayout: feeding the Pallas search kernel, the
-    pooling cost dropped ~389 ms -> ~4 ms standalone and the reshape form's
-    best in-situ showing was ~29 ms (scripts/probe_down2_chunk.py, round 3b).
+    lane-splitting reshape relayout: feeding the Pallas search kernel
+    standalone, pooling+search dropped 445 ms -> 60 ms
+    (scripts/probe_down2_chunk.py, round 3b). Inside the fused complexity
+    suite the win is small — interleaved same-session A/B measured 176.9 vs
+    180.4 ms median (scripts/probe_down2_suite_ab.py; XLA already fuses the
+    reshape form well there, packed-output diff 6.7e-6, no argmin tie flips).
     The HIGHEST-precision pooling-matmul variants were ~15 ms slower AND only
     equal to ~8e-6 (argmin tie-break hazard) — don't revisit.
     """

@@ -34,12 +34,7 @@ from rtvqa_tpu.parallel.sharding import _per_frame_values_series
 VALUE_KEYS = ("motion", "dct", "histogram", "edge", "orb", "color", "temporal_dct")
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("resize_h", "resize_w", "block", "radius", "edge_low",
-                     "edge_high", "motion_search", "motion_impl"),
-)
-def _chunk_values(
+def _chunk_values_body(
     y, u, v, tail_y, tail_u, tail_v, *,
     resize_h, resize_w, block=16, radius=8, edge_low=100.0, edge_high=200.0,
     motion_search="pyramid", motion_impl="xla",
@@ -60,6 +55,16 @@ def _chunk_values(
         motion_impl=motion_impl,
     )
     return jnp.stack([vals[k].astype(jnp.float32) for k in VALUE_KEYS])
+
+
+#: Jitted per-chunk dispatch (the plain body stays importable so the merged
+#: quality+complexity chunk program in ``metrics.full_reference`` can trace it
+#: inside ONE fused XLA program — one dispatch + one fetch per chunk).
+_chunk_values = functools.partial(
+    jax.jit,
+    static_argnames=("resize_h", "resize_w", "block", "radius", "edge_low",
+                     "edge_high", "motion_search", "motion_impl"),
+)(_chunk_values_body)
 
 
 def _ewm_mean_host(series: np.ndarray, alpha: float) -> float:
@@ -150,6 +155,25 @@ class ComplexityAccumulator:
             self._buf = [(ys[off:], us[off:], vs[off:])] if off < self._buf_n else []
             self._buf_ts = [ts_all[off:]] if off < self._buf_n else []
             self._buf_n -= off
+
+    def add_packed(self, packed: np.ndarray, ts: np.ndarray) -> None:
+        """Feed pre-computed per-frame values for ``len(ts)`` frames.
+
+        ``packed``: (len(VALUE_KEYS), n) float32 rows in VALUE_KEYS order —
+        the complexity rows of the merged quality+complexity chunk program
+        (``metrics.full_reference._program_chunk_combined``), whose device
+        tail-carry replaces this accumulator's own chunking. Must not be mixed
+        with buffered ``add()`` feeding (the two carry chains would diverge).
+        """
+        if self._buf_n:
+            raise RuntimeError("add_packed cannot be mixed with pending add()")
+        n = len(ts)
+        if n == 0:
+            return
+        for row, k in enumerate(VALUE_KEYS):
+            self.values[k].append(np.asarray(packed[row, :n], np.float32))
+        self.timestamps.append(np.asarray(ts, np.float64))
+        self.n_total += n
 
     def _consolidate(self) -> None:
         if len(self._buf) > 1:

@@ -202,9 +202,8 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     return packed, fq["blur_carry"]
 
 
-@functools.partial(jax.jit, static_argnames=("vif_egl", "adm_egl", "fast3"))
-def _program_chunk(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
-                   vif_egl=None, adm_egl=None, fast3=None):
+def _program_chunk_body(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
+                        vif_egl=None, adm_egl=None, fast3=None):
     """One fused program per chunk: PSNR+SSIM+motion AND VIF+ADM.
 
     Merging everything into a single XLA program saves one dispatch + one
@@ -223,6 +222,57 @@ def _program_chunk(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     pa, blur = _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev)
     pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl)
     return jnp.concatenate([pa, pb], axis=0), blur
+
+
+_program_chunk = functools.partial(
+    jax.jit, static_argnames=("vif_egl", "adm_egl", "fast3")
+)(_program_chunk_body)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vif_egl", "adm_egl", "fast3", "resize_h", "resize_w",
+                     "block", "radius", "motion_search", "motion_impl",
+                     "complexity_on"),
+)
+def _program_chunk_combined(
+    ry, ru, rv, dy, du, dv, prev_blur, has_prev, tail_y, tail_u, tail_v,
+    vif_egl=None, adm_egl=None, fast3=None, *,
+    resize_h, resize_w, block=16, radius=8, motion_search="pyramid",
+    motion_impl="xla", complexity_on="dis",
+):
+    """Full-suite chunk program: quality AND per-frame complexity values in
+    ONE dispatched XLA program — one fetch round trip per chunk.
+
+    The production path for the full-suite-per-frame workload
+    (``analyze_combined`` at ``frame_interval=1``): today that loop dispatches
+    the quality chunk program plus a separate complexity-chunk program per
+    chunk through the ``ComplexityAccumulator`` tap; through the tunnel each
+    program call carries ~40 ms of fixed dispatch+fetch cost, so merging the
+    two saves one round trip per chunk (the reference pays this workload as
+    one ffmpeg pass PLUS three cv2 passes — ``video_processing.py:216,233``,
+    ``complexity_metrics.py:262,296,520``).
+
+    ``tail_*``: the carried previous sampled frame of the complexity target
+    stream (zeros for the first chunk — its slot-0 values are dropped by the
+    EWM re-indexing in ``ComplexityAccumulator.finalize``). Returns
+    ``(packed (len(CHUNK_KEYS)+7, N), blur_carry, tail_y', tail_u',
+    tail_v')`` — carries stay on device across chunks.
+    """
+    from rtvqa_tpu.metrics.complexity_streaming import _chunk_values_body
+
+    packed_q, blur = _program_chunk_body(
+        ry, ru, rv, dy, du, dv, prev_blur, has_prev, vif_egl, adm_egl, fast3
+    )
+    cy, cu, cv = (dy, du, dv) if complexity_on == "dis" else (ry, ru, rv)
+    packed_c = _chunk_values_body(
+        cy, cu, cv, tail_y, tail_u, tail_v,
+        resize_h=resize_h, resize_w=resize_w, block=block, radius=radius,
+        motion_search=motion_search, motion_impl=motion_impl,
+    )
+    packed = jnp.concatenate([packed_q, packed_c], axis=0)
+    # Padded tails repeat the last valid frame, so [-1] IS the last valid one.
+    return packed, blur, cy[-1], cu[-1], cv[-1]
 
 
 def auto_chunk(width: int, height: int, requested: Optional[int] = None) -> int:
@@ -250,6 +300,7 @@ def _run_quality_chunks(
     runner=None,
     stage: bool = True,
     fast3=None,
+    combined=None,
 ) -> tuple[dict, int]:
     """The shared streaming loop: decode both streams once in lockstep,
     stage full chunks into HBM from the prefetch threads (explicit
@@ -266,6 +317,14 @@ def _run_quality_chunks(
     ``pipeline.quality_sharded``); ``stage=False`` skips single-device HBM
     staging for runners that place data themselves (a shard_map'd jit
     re-shards its inputs across the mesh).
+
+    ``combined`` — optional ``ComplexityAccumulator``-driven merged mode
+    (``{"acc": ComplexityAccumulator, "complexity_on": "dis"|"ref"}``): every
+    frame also runs the complexity value program INSIDE the quality chunk
+    program (``_program_chunk_combined``, one dispatch + one fetch per chunk);
+    per-frame values land in the accumulator via ``add_packed``. The
+    ``frame_interval=1`` fast path of ``analyze_combined``. Mutually exclusive
+    with ``tap``/``runner``.
     """
     stage_chunk = chunk if stage else None
     ref_it = prefetch(
@@ -277,7 +336,8 @@ def _run_quality_chunks(
 
     try:
         return _quality_chunk_loop(
-            ref_it, dis_it, chunk, vif_egl, adm_egl, tap, runner, fast3
+            ref_it, dis_it, chunk, vif_egl, adm_egl, tap, runner, fast3,
+            combined,
         )
     finally:
         # Close on ANY exit (ADVICE r2 #2): an exception mid-chunk must not
@@ -288,11 +348,12 @@ def _run_quality_chunks(
 
 
 def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap,
-                        runner=None, fast3=None):
+                        runner=None, fast3=None, combined=None):
     series: dict[str, list[np.ndarray]] = {}
     carry_blur = None
     first = True
     n_frames = 0
+    tails = None  # merged mode: carried complexity tail frames (on device)
 
     while True:
         rb = next(ref_it, None)
@@ -319,7 +380,30 @@ def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap,
 
         if carry_blur is None:
             carry_blur = np.zeros(rhost.y.shape[1:], np.float32)
-        if runner is not None:
+        if combined is not None:
+            acc = combined["acc"]
+            on_dis = combined.get("complexity_on", "dis") == "dis"
+            if tails is None:
+                tails = (
+                    np.zeros(rhost.y.shape[1:], rhost.y.dtype),
+                    np.zeros(rhost.u.shape[1:], rhost.u.dtype),
+                    np.zeros(rhost.v.shape[1:], rhost.v.dtype),
+                )
+            packed, carry_blur, *tails = _program_chunk_combined(
+                ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first),
+                *tails, vif_egl=vif_egl, adm_egl=adm_egl, fast3=fast3,
+                resize_h=acc.resize_height, resize_w=acc.resize_width,
+                block=acc.block, radius=acc.radius,
+                motion_search=acc.motion_search, motion_impl=acc.motion_impl,
+                complexity_on="dis" if on_dis else "ref",
+            )
+            packed = np.asarray(packed)  # ONE fetch for quality + complexity
+            chost = dhost if on_dis else rhost
+            acc.add_packed(
+                packed[len(CHUNK_KEYS):, :n], chost.timestamps_ms[:n]
+            )
+            packed = packed[: len(CHUNK_KEYS)]
+        elif runner is not None:
             packed, carry_blur = runner(
                 ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
             )
@@ -399,6 +483,7 @@ def analyze_combined(
     vmaf_model_path: Optional[str] = None,
     quality_precision: Optional[str] = None,
     motion_search: str = "pyramid",
+    merged: Optional[bool] = None,
 ) -> tuple[dict, "object"]:
     """One decode pass per stream: full-reference quality AND the eight-metric
     complexity suite from the same lockstep loop.
@@ -414,9 +499,24 @@ def analyze_combined(
     ``ComplexityAccumulator`` (identical chunking/pooling to the streaming
     driver — equivalence tested).
 
+    ``merged``: run complexity INSIDE the quality chunk program
+    (``_program_chunk_combined`` — one dispatch + one fetch per chunk instead
+    of two program families). Only applicable at ``frame_interval=1`` (every
+    frame feeds both); ``None`` = auto (on whenever applicable on TPU, where
+    each saved program call is a ~40 ms tunnel round trip; off on CPU, where
+    there is nothing to save and the merged module compiles slower).
+
     Returns ``(quality_dict, ComplexityResult)``.
     """
     from rtvqa_tpu.metrics.complexity_streaming import ComplexityAccumulator
+
+    if merged is None:
+        merged = frame_interval == 1 and jax.default_backend() != "cpu"
+    if merged and frame_interval != 1:
+        raise ValueError(
+            "merged=True requires frame_interval=1 (every frame feeds the "
+            f"combined chunk program); got frame_interval={frame_interval}"
+        )
 
     probe = VideoStream(ref_path, 1, 1)
     chunk = auto_chunk(probe.info.width, probe.info.height, chunk)
@@ -445,8 +545,9 @@ def analyze_combined(
         ref_path, dis_path, chunk,
         model.vif_enhn_gain_limit if model else None,
         model.adm_enhn_gain_limit if model else None,
-        tap=tap,
+        tap=None if merged else tap,
         fast3=resolve_precision(quality_precision),
+        combined={"acc": acc, "complexity_on": complexity_on} if merged else None,
     )
     comp = acc.finalize()
     if n_frames == 0:

@@ -133,6 +133,43 @@ def test_combined_engine_complexity_on_ref(pair):
     assert comp.motion == pytest.approx(sep.motion, rel=1e-6)
 
 
+@pytest.mark.parametrize("on", ["dis", "ref"])
+def test_combined_merged_matches_tap(pair, on):
+    """The merged chunk program (quality + complexity values in ONE dispatch,
+    the frame_interval=1 TPU fast path) must reproduce the tap path: same
+    quality dict, same complexity 8-tuple. chunk=4 exercises the ragged tail
+    (11 frames) and the cross-chunk tail carry."""
+    from rtvqa_tpu.metrics.full_reference import analyze_combined
+
+    ref, dis = pair
+    kw = dict(
+        frame_interval=1, resize_width=48, resize_height=48,
+        complexity_chunk=4, chunk=4, complexity_on=on,
+    )
+    q_tap, c_tap = analyze_combined(ref, dis, merged=False, **kw)
+    q_m, c_m = analyze_combined(ref, dis, merged=True, **kw)
+
+    assert q_m["n_frames"] == q_tap["n_frames"]
+    assert q_m["psnr"] == pytest.approx(q_tap["psnr"], abs=1e-6)
+    assert q_m["ssim"] == pytest.approx(q_tap["ssim"], abs=1e-7)
+    for k in ("vif_scale0", "vif_scale3", "adm2", "motion2"):
+        np.testing.assert_allclose(
+            q_m["per_frame"][k], q_tap["per_frame"][k], rtol=1e-6, atol=1e-7
+        )
+    for field in ("motion", "dct", "histogram", "edge", "orb", "color",
+                  "temporal_dct", "framerate"):
+        assert getattr(c_m, field) == pytest.approx(
+            getattr(c_tap, field), rel=1e-5, abs=1e-8
+        ), field
+
+
+def test_combined_merged_rejects_sampled():
+    from rtvqa_tpu.metrics.full_reference import analyze_combined
+
+    with pytest.raises(ValueError, match="frame_interval=1"):
+        analyze_combined("x.mp4", "y.mp4", frame_interval=3, merged=True)
+
+
 def test_streaming_motion_chunk_boundary(pair):
     # motion2 must be identical for chunk=4 and chunk=32 (boundary carry).
     ref, dis = pair

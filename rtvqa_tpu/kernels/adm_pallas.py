@@ -71,15 +71,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _lane_conv4(x, taps, wq):
-    """val[l] = sum_t taps[t] * x[l + t - 2] — db2 column filter evaluated at
-    every lane; even-offset lanes hold the decimated-grid values."""
-    acc = None
-    for t, w in enumerate(taps):
+def _lane_conv4_pair(x, taps_a, taps_b, wq):
+    """(val_a[l], val_b[l]) with val[l] = sum_t taps[t] * x[l + t - 2] — the
+    db2 lo AND hi column filters of one input share their four lane rolls
+    (each roll is a VPU lane shuffle over the whole strip; the kernel always
+    needs both subbands of every row-filtered stream, so pairing halves the
+    roll count from 32 to 16 per strip). Tap accumulation order is unchanged.
+    In-session A/B at 128x1080p (all four scales, with the stacked row
+    matmul below): 105.3 vs 106.1 ms median — NEUTRAL, consistent with the
+    kernel being VPU-compute/DMA-bound (Mosaic likely CSE'd the duplicate
+    rolls already); kept as the cheaper form. adm2 diff vs the old kernel
+    1.07e-6 (MXU tiling of the stacked matmul)."""
+    acc_a = acc_b = None
+    for t in range(4):
         sh = (wq + 2 - t) % wq
-        term = float(w) * (pltpu.roll(x, sh, axis=1) if sh else x)
-        acc = term if acc is None else acc + term
-    return acc
+        xr = pltpu.roll(x, sh, axis=1) if sh else x
+        ta = float(taps_a[t]) * xr
+        tb = float(taps_b[t]) * xr
+        acc_a = ta if acc_a is None else acc_a + ta
+        acc_b = tb if acc_b is None else acc_b + tb
+    return acc_a, acc_b
 
 
 def _adm0_kernel(
@@ -131,29 +142,30 @@ def _adm0_kernel(
             m = term if m is None else m + term
         return m
 
-    m_lo = band_matrix(LO)
-    m_hi = band_matrix(HI)
+    # lo and hi row filters stacked into ONE matrix per stream: each matmul
+    # is tiny (rows_out x rows_in, e.g. 34 x 72) so a 34-row M dimension
+    # wastes 3/4 of the 128-wide systolic rows — stacking doubles MXU row
+    # occupancy and halves the matmul dispatches. Each output row's
+    # contraction is unchanged (equal to the separate dots to ~1e-6; the
+    # stacked shape tiles the MXU differently).
+    m_both = jnp.concatenate([band_matrix(LO), band_matrix(HI)], axis=0)
 
-    def rows_fused(m, x):
-        return jnp.dot(
-            m, x, preferred_element_type=jnp.float32,
+    def rows_fused(x):
+        both = jnp.dot(
+            m_both, x, preferred_element_type=jnp.float32,
             precision=FILTER_PRECISION,
         )
+        rows_out = m_both.shape[0] // 2
+        return both[:rows_out], both[rows_out:]
 
-    r = rbuf[...]
-    d = dbuf[...]
-    lo_r, hi_r = rows_fused(m_lo, r), rows_fused(m_hi, r)
-    lo_d, hi_d = rows_fused(m_lo, d), rows_fused(m_hi, d)
+    lo_r, hi_r = rows_fused(rbuf[...])
+    lo_d, hi_d = rows_fused(dbuf[...])
 
     # --- column filters (even-offset lanes = decimated grid) ---------------
-    oa = _lane_conv4(lo_r, LO, wq)
-    oh = _lane_conv4(lo_r, HI, wq)
-    ov = _lane_conv4(hi_r, LO, wq)
-    od = _lane_conv4(hi_r, HI, wq)
-    ta = _lane_conv4(lo_d, LO, wq)
-    th = _lane_conv4(lo_d, HI, wq)
-    tv = _lane_conv4(hi_d, LO, wq)
-    td = _lane_conv4(hi_d, HI, wq)
+    oa, oh = _lane_conv4_pair(lo_r, LO, HI, wq)
+    ov, od = _lane_conv4_pair(hi_r, LO, HI, wq)
+    ta, th = _lane_conv4_pair(lo_d, LO, HI, wq)
+    tv, td = _lane_conv4_pair(hi_d, LO, HI, wq)
 
     # --- decoupling (vmaf.adm._decouple, scale-0 CSF folded in later) ------
     eps = 1e-30

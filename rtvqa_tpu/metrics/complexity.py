@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb
+from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb_planes
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
 from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
@@ -150,14 +150,14 @@ def complexity_suite(
     gray_orb = resize_bilinear(curr_g, ORB_SIZE, ORB_SIZE)
     orb_series = orb_keypoint_count(gray_orb)
 
-    # Channel-batched layout: one (N-1, 3, H, W) tensor through one pair of
-    # batched resize matmuls. A per-plane (r, g, b)-tuple conversion split
-    # was measured EQUAL within session noise on the v5e (device throughput
-    # varies ~25% between tunnel sessions — A/B only within one session);
-    # the batched form is kept as the longer-proven one.
-    rgb = yuv420_to_rgb(y[1:], u[1:], v[1:])                  # (N-1, H, W, 3)
+    # Channel-batched layout: one (N-1, 3, H, W) channel-MAJOR tensor through
+    # one pair of batched resize matmuls. Built directly from the channel
+    # planes — the old interleaved (N-1, H, W, 3) + moveaxis form put 3 on
+    # the lane dimension, a full-resolution relayout that measured ~38 ms of
+    # the color path's device time at 128x1080p (round 3c probe).
+    r_p, g_p, b_p = yuv420_to_rgb_planes(y[1:], u[1:], v[1:])
     rgb_rs = resize_bilinear(
-        jnp.moveaxis(rgb, -1, 1), resize_h, resize_w
+        jnp.stack([r_p, g_p, b_p], axis=1), resize_h, resize_w
     )                                                         # (N-1, 3, rh, rw)
     color_series = color_entropy(jnp.moveaxis(rgb_rs, 1, -1))
 

@@ -34,7 +34,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rtvqa_tpu.metrics.complexity import ORB_SIZE
-from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb
+from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb_planes
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
 from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
@@ -84,12 +84,15 @@ def _per_frame_values(
     hist = gray_entropy(gray_rs)
     edge = canny_edge_count(gray_rs, edge_low, edge_high)
     orb = orb_keypoint_count(resize_bilinear(gray, ORB_SIZE, ORB_SIZE))
-    # Channel-batched resize (see metrics.complexity: per-plane split
-    # measured equal within session noise; batched form kept).
-    rgb = yuv420_to_rgb(y, u, v)
+    # Channel-MAJOR batched resize from the channel planes (see
+    # metrics.complexity: the interleaved channel-minor + moveaxis form was a
+    # measured full-resolution relayout pathology, round 3c).
+    r_p, g_p, b_p = yuv420_to_rgb_planes(y, u, v)
     color = color_entropy(
         jnp.moveaxis(
-            resize_bilinear(jnp.moveaxis(rgb, -1, -3), resize_h, resize_w), -3, -1
+            resize_bilinear(
+                jnp.stack([r_p, g_p, b_p], axis=-3), resize_h, resize_w
+            ), -3, -1,
         )
     )
     tdct = temporal_dct_abs_diff(prev_gray_rs, gray_rs)
@@ -137,12 +140,15 @@ def _per_frame_values_series(
     hist = gray_entropy(gray_rs)
     edge = canny_edge_count(gray_rs, edge_low, edge_high)
     orb = orb_keypoint_count(resize_bilinear(gray_ext[1:], ORB_SIZE, ORB_SIZE))
-    # Channel-batched resize (see metrics.complexity: per-plane split
-    # measured equal within session noise; batched form kept).
-    rgb = yuv420_to_rgb(y_ext[1:], u_ext[1:], v_ext[1:])
+    # Channel-MAJOR batched resize from the channel planes (see
+    # metrics.complexity: the interleaved channel-minor + moveaxis form was a
+    # measured full-resolution relayout pathology, round 3c).
+    r_p, g_p, b_p = yuv420_to_rgb_planes(y_ext[1:], u_ext[1:], v_ext[1:])
     color = color_entropy(
         jnp.moveaxis(
-            resize_bilinear(jnp.moveaxis(rgb, -1, -3), resize_h, resize_w), -3, -1
+            resize_bilinear(
+                jnp.stack([r_p, g_p, b_p], axis=-3), resize_h, resize_w
+            ), -3, -1,
         )
     )
     tdct = temporal_dct_abs_diff(gray_rs_ext[:-1], gray_rs)

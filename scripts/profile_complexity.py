@@ -127,10 +127,12 @@ def main():
     from rtvqa_tpu.ops.resize import resize_bilinear
 
     @jax.jit
-    def conv_gray(tag):
-        return jnp.sum(yuv420_to_gray(y, u, v) + tag * 1e-30)
+    def conv_gray(yy, uu, vv, tag):
+        # Arrays passed as ARGUMENTS: jit closures over big device arrays
+        # serialize into the remote-compile request body (HTTP 413, CLAUDE.md).
+        return jnp.sum(yuv420_to_gray(yy, uu, vv) + tag * 1e-30)
 
-    timeit("yuv420_to_gray", lambda k: np.asarray(conv_gray(k)), tags)
+    timeit("yuv420_to_gray", lambda k: np.asarray(conv_gray(y, u, v, k)), tags)
 
     @jax.jit
     def rs64(g, tag):
@@ -152,12 +154,15 @@ def main():
         timeit(name, lambda k, jf=jf: np.asarray(jf(gray64, k)), tags)
 
     @jax.jit
-    def color_path(tag):
-        rgb = yuv420_to_rgb(y, u, v) + tag * 1e-30
+    def color_path(yy, uu, vv, tag):
+        rgb = yuv420_to_rgb(yy, uu, vv) + tag * 1e-30
         rgb_rs = resize_bilinear(jnp.moveaxis(rgb, -1, 1), 64, 64)
         return jnp.sum(color_entropy(jnp.moveaxis(rgb_rs, 1, -1)))
 
-    timeit("rgb+resize+color_entropy", lambda k: np.asarray(color_path(k)), tags)
+    timeit(
+        "rgb+resize+color_entropy",
+        lambda k: np.asarray(color_path(y, u, v, k)), tags,
+    )
 
     known = sum(
         results.get(k, 0.0)

@@ -18,13 +18,17 @@ Per-strip dataflow (everything in VMEM):
 1. db2 row filter + row decimation fused as ONE banded selection matmul per
    (stream, lo/hi) — the band matrix also encodes the mirror border and the
    edge-replicated spread halo rows, so no in-kernel boundary branches;
-2. db2 column filters as 4-tap `pltpu.roll` lane convolutions evaluated at
-   every lane; only even-offset lanes carry decimated-grid values (lane
-   decimation by masking — a lane-selection matmul in VMEM is an 8 MB
-   constant at 1080p and blew the scoped budget in the VIF kernel);
+2. db2 column filter + LANE DECIMATION fused as tiled banded matmuls on the
+   MXU (one shared (384, 256) LO|HI band per 128-lane output block — the
+   ``_filt_lanes_mxu`` pattern of ``vif_pallas``). Round 3d: this replaced
+   4-tap `pltpu.roll` lane convolutions evaluated at EVERY lane (decimation
+   by masking), and halves the lane width of everything downstream — the
+   even-offset-only layout made 50% of the decouple/CSF/masking/pooling VPU
+   work dead;
 3. decoupling (cos 1 deg test, optional NEG gain cap), Watson CSF weighting,
-   the 3x3 contrast-masking spread (sublane static slices x lane +-2 rolls
-   with edge-replication masks), and the center-crop-masked cube-power sums.
+   the 3x3 contrast-masking spread (sublane static slices x lane +-1 rolls
+   with edge-replication masks), and the center-crop-masked cube-power sums
+   — all on the decimated (half-width) lane grid.
 
 Layout rules honored (CLAUDE.md): static-shift `pltpu.roll` only, no
 lane-splitting reshapes, lane-aligned outputs, masked ragged strips.
@@ -71,32 +75,53 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _lane_conv4_pair(x, taps_a, taps_b, wq):
-    """(val_a[l], val_b[l]) with val[l] = sum_t taps[t] * x[l + t - 2] — the
-    db2 lo AND hi column filters of one input share their four lane rolls
-    (each roll is a VPU lane shuffle over the whole strip; the kernel always
-    needs both subbands of every row-filtered stream, so pairing halves the
-    roll count from 32 to 16 per strip). Tap accumulation order is unchanged.
-    In-session A/B at 128x1080p (all four scales, with the stacked row
-    matmul below): 105.3 vs 106.1 ms median — NEUTRAL, consistent with the
-    kernel being VPU-compute/DMA-bound (Mosaic likely CSE'd the duplicate
-    rolls already); kept as the cheaper form. adm2 diff vs the old kernel
-    1.07e-6 (MXU tiling of the stacked matmul)."""
-    acc_a = acc_b = None
-    for t in range(4):
-        sh = (wq + 2 - t) % wq
-        xr = pltpu.roll(x, sh, axis=1) if sh else x
-        ta = float(taps_a[t]) * xr
-        tb = float(taps_b[t]) * xr
-        acc_a = ta if acc_a is None else acc_a + ta
-        acc_b = tb if acc_b is None else acc_b + tb
-    return acc_a, acc_b
+def _lane_filt_decim(x, wq2):
+    """db2 column filter + LANE DECIMATION fused as tiled banded matmuls on
+    the MXU (the ``vif_pallas._filt_lanes_mxu`` pattern, plus the stride-2
+    decimation folded into the band): output lane c = decimated column c =
+    sum_t taps[t] * x[:, 2c + 2 + t] (the +2 absorbs the HALO_IN=4 reflect
+    pad and the t-2 window center). Returns (lo, hi) of shape (rows, wq2).
+
+    Output block j (128 decimated columns) reads input lanes
+    [256j + 2, 256j + 262) — inside the lane-aligned 3-block slice
+    x[:, 256j : 256j + 384]; one (384, 256) LO|HI band matrix is shared by
+    every block. Replaces the round-3a VPU formulation (4 `pltpu.roll`
+    lane shuffles per stream at FULL lane width, decimation by masking)
+    AND halves the lane width of every downstream decouple/CSF/masking/
+    pooling VPU chain — the even-offset lanes were 50% dead work.
+    The caller pads the input so the last slice stays in bounds (an
+    in-kernel zero-block concat hits a Mosaic layout-offset limitation:
+    the row-matmul slices carry a sublane offset the concat can't merge).
+    """
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 1)
+    d = l_ids - (2 * c_ids + 2)
+
+    def band(tp):
+        m = None
+        for t, wgt in enumerate(tp):
+            term = jnp.where(d == t, float(wgt), 0.0)
+            m = term if m is None else m + term
+        return m
+
+    m2 = jnp.concatenate([band(LO), band(HI)], axis=1)  # (384, 256)
+    los, his = [], []
+    for j in range(wq2 // 128):
+        y = jnp.dot(
+            x[:, 256 * j : 256 * j + 384], m2,
+            preferred_element_type=jnp.float32, precision=FILTER_PRECISION,
+        )
+        los.append(y[:, :128])
+        his.append(y[:, 128:])
+    lo = los[0] if len(los) == 1 else jnp.concatenate(los, axis=1)
+    hi = his[0] if len(his) == 1 else jnp.concatenate(his, axis=1)
+    return lo, hi
 
 
 def _adm0_kernel(
     ref_hbm, dis_hbm, sums_ref, aref_out, adis_out,
     rbuf, dbuf, sem_r, sem_d,
-    *, h2: int, w2: int, wq: int, top: int, left: int,
+    *, h2: int, w2: int, wq2: int, top: int, left: int,
     fh: float, fd: float, egl, strip: int,
 ):
     """Grid (B, n_strips). Strip s covers subband rows [s*strip, (s+1)*strip).
@@ -108,20 +133,52 @@ def _adm0_kernel(
     """
     i = pl.program_id(0)
     s = pl.program_id(1)
+    n_i = pl.num_programs(0)
+    n_s = pl.num_programs(1)
     rows_in = 2 * strip + 8
     rows_out = strip + 2
     g0 = s * strip
 
-    dma_r = pltpu.make_async_copy(
-        ref_hbm.at[i, pl.ds(2 * g0, rows_in), :], rbuf, sem_r
-    )
-    dma_d = pltpu.make_async_copy(
-        dis_hbm.at[i, pl.ds(2 * g0, rows_in), :], dbuf, sem_d
-    )
-    dma_r.start()
-    dma_d.start()
-    dma_r.wait()
-    dma_d.wait()
+    # --- double-buffered input DMA (round 3d) -------------------------------
+    # Cell k reads slot k%2, whose DMA was started by cell k-1 (cell 0
+    # starts its own); before waiting, it starts cell k+1's DMA into the
+    # other slot, so the next strip's HBM reads overlap this strip's
+    # compute. The start/wait-in-cell form was DMA-serialization-bound:
+    # strip-size doubling (25->16 cells) and lane-width halving (the round-3d
+    # decimated column matmuls) were BOTH neutral at ~110 ms / 128x1080p —
+    # the constant was total DMA bytes, not per-cell overhead or VPU width.
+    k = i * n_s + s
+    slot = jax.lax.rem(k, 2)
+
+    def dma_pair(kk, sl):
+        ii = kk // n_s
+        ss = jax.lax.rem(kk, n_s)
+        return (
+            pltpu.make_async_copy(
+                ref_hbm.at[ii, pl.ds(2 * ss * strip, rows_in), :],
+                rbuf.at[sl], sem_r.at[sl],
+            ),
+            pltpu.make_async_copy(
+                dis_hbm.at[ii, pl.ds(2 * ss * strip, rows_in), :],
+                dbuf.at[sl], sem_d.at[sl],
+            ),
+        )
+
+    @pl.when(k == 0)
+    def _():
+        a, b_ = dma_pair(k, slot)
+        a.start()
+        b_.start()
+
+    @pl.when(k + 1 < n_i * n_s)
+    def _():
+        a, b_ = dma_pair(k + 1, 1 - slot)
+        a.start()
+        b_.start()
+
+    cur_r, cur_d = dma_pair(k, slot)
+    cur_r.wait()
+    cur_d.wait()
 
     # --- banded row-filter + row-decimation matrices ------------------------
     # Output row r represents subband row g = g0 + r - 1 (r=0 and r=strip+1
@@ -158,14 +215,14 @@ def _adm0_kernel(
         rows_out = m_both.shape[0] // 2
         return both[:rows_out], both[rows_out:]
 
-    lo_r, hi_r = rows_fused(rbuf[...])
-    lo_d, hi_d = rows_fused(dbuf[...])
+    lo_r, hi_r = rows_fused(rbuf[slot])
+    lo_d, hi_d = rows_fused(dbuf[slot])
 
-    # --- column filters (even-offset lanes = decimated grid) ---------------
-    oa, oh = _lane_conv4_pair(lo_r, LO, HI, wq)
-    ov, od = _lane_conv4_pair(hi_r, LO, HI, wq)
-    ta, th = _lane_conv4_pair(lo_d, LO, HI, wq)
-    tv, td = _lane_conv4_pair(hi_d, LO, HI, wq)
+    # --- column filters + lane decimation (MXU banded matmuls) -------------
+    oa, oh = _lane_filt_decim(lo_r, wq2)
+    ov, od = _lane_filt_decim(hi_r, wq2)
+    ta, th = _lane_filt_decim(lo_d, wq2)
+    tv, td = _lane_filt_decim(hi_d, wq2)
 
     # --- decoupling (vmaf.adm._decouple, scale-0 CSF folded in later) ------
     eps = 1e-30
@@ -189,15 +246,15 @@ def _adm0_kernel(
     )
 
     # --- 3x3 masking spread (center weight 2, /30) --------------------------
-    # Lane neighbors are +-2 (adjacent decimated columns); at the image's
-    # left/right boundary the neighbor is the edge column itself.
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, wq), 1)
+    # Lanes ARE decimated columns now; neighbors are +-1, edge-replicated at
+    # the image's left/right boundary.
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, wq2), 1)
     left_n = jnp.where(
-        lane_ids == HALO_IN, spread_in, pltpu.roll(spread_in, 2, axis=1)
+        lane_ids == 0, spread_in, pltpu.roll(spread_in, 1, axis=1)
     )
     right_n = jnp.where(
-        lane_ids == HALO_IN + 2 * (w2 - 1), spread_in,
-        pltpu.roll(spread_in, wq - 2, axis=1),
+        lane_ids == w2 - 1, spread_in,
+        pltpu.roll(spread_in, wq2 - 1, axis=1),
     )
     rowsum = left_n + spread_in + right_n
     thr = (
@@ -206,13 +263,10 @@ def _adm0_kernel(
     ) / 30.0
 
     # --- center-crop-masked L3 pooling partial sums -------------------------
-    out_rows = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 0) + g0
-    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 1)
-    j = (out_lanes - HALO_IN) // 2  # decimated column index at even offsets
-    on_grid = (out_lanes >= HALO_IN) & ((out_lanes - HALO_IN) % 2 == 0)
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (strip, wq2), 0) + g0
+    j = jax.lax.broadcasted_iota(jnp.int32, (strip, wq2), 1)  # decimated col
     valid = (
-        on_grid
-        & (out_rows >= top) & (out_rows < h2 - top)
+        (out_rows >= top) & (out_rows < h2 - top)
         & (j >= left) & (j < w2 - left)
     )
 
@@ -271,7 +325,13 @@ def adm_scale_pallas(
     while strip > 16 and strip - h2 >= 16:
         strip //= 2
     n_strips = -(-h2 // strip)
-    wq = _round_up(w + 2 * HALO_IN, 128)
+    wq2 = 128 * (-(-w2 // 128))  # decimated lane width (output blocks)
+    # The last 384-wide column-filter slice reads up to lane
+    # 256*(wq2/128 - 1) + 384 — pad the input that wide (edge mode; the
+    # extra lanes only feed masked-out output columns). At 1080p this is
+    # 2176 vs 2048 (+6% DMA; an in-VMEM zero extension instead trips a
+    # Mosaic concat layout-offset limitation).
+    wq = max(_round_up(w + 2 * HALO_IN, 128), 256 * (wq2 // 128 - 1) + 384)
     rows_in = 2 * strip + 8
     pad_h_target = 2 * strip * n_strips + 8
 
@@ -294,13 +354,13 @@ def adm_scale_pallas(
     sums, a_ref, a_dis = pl.pallas_call(
         functools.partial(
             _adm0_kernel,
-            h2=h2, w2=w2, wq=wq, top=top, left=left,
+            h2=h2, w2=w2, wq2=wq2, top=top, left=left,
             fh=float(fh), fd=float(fd), egl=egl, strip=strip,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_strips * strip, wq), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_strips * strip, wq), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_strips * strip, wq2), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_strips * strip, wq2), jnp.float32),
         ),
         grid=(b, n_strips),
         in_specs=[
@@ -310,16 +370,16 @@ def adm_scale_pallas(
         out_specs=(
             pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strip, wq), lambda i, s: (i, s, 0),
+            pl.BlockSpec((1, strip, wq2), lambda i, s: (i, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strip, wq), lambda i, s: (i, s, 0),
+            pl.BlockSpec((1, strip, wq2), lambda i, s: (i, s, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows_in, wq), jnp.float32),
-            pltpu.VMEM((rows_in, wq), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows_in, wq), jnp.float32),
+            pltpu.VMEM((2, rows_in, wq), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(prep(ref_y), prep(dis_y))
@@ -338,10 +398,9 @@ def adm_scale_pallas(
         + jnp.sum(sums[..., 5], axis=-1) ** third
         + 3.0 * offset
     )
-    from rtvqa_tpu.vmaf.filters import even_lanes
-
-    ar = even_lanes(a_ref[:, :h2, HALO_IN : HALO_IN + w])
-    ad = even_lanes(a_dis[:, :h2, HALO_IN : HALO_IN + w])
+    # Kernel lanes ARE the decimated grid now — just crop the block padding.
+    ar = a_ref[:, :h2, :w2]
+    ad = a_dis[:, :h2, :w2]
     return num0, den0, ar, ad
 
 

@@ -5,6 +5,7 @@ from rtvqa_tpu.ops.color import (
     yuv420_to_gray,
     yuv420_to_gray_np,
     yuv420_to_rgb,
+    yuv420_to_rgb_planes,
 )
 from rtvqa_tpu.ops.resize import resize_bilinear, resize_bilinear_np
 
@@ -31,6 +32,18 @@ def test_yuv_rgb_roundtrip_noise(rng):
     assert float(np.mean(np.abs(back - rgb.astype(np.float32)))) < 60.0
     y2, _, _ = rgb_to_yuv420_np(np.clip(np.rint(back), 0, 255).astype(np.uint8))
     assert float(np.mean(np.abs(y2.astype(np.float32) - y.astype(np.float32)))) < 2.5
+
+
+def test_rgb_planes_match_interleaved(rng):
+    # The hot-path planar form (channel-MAJOR, TPU-native layout) must be
+    # bitwise-identical per channel to the interleaved convenience form.
+    rgb = rng.integers(0, 256, (2, 24, 32, 3), np.uint8)
+    y, u, v = rgb_to_yuv420_np(rgb)
+    r, g, b = (np.asarray(p) for p in yuv420_to_rgb_planes(y, u, v))
+    inter = np.asarray(yuv420_to_rgb(y, u, v))
+    np.testing.assert_array_equal(r, inter[..., 0])
+    np.testing.assert_array_equal(g, inter[..., 1])
+    np.testing.assert_array_equal(b, inter[..., 2])
 
 
 def test_gray_matches_oracle(rng):

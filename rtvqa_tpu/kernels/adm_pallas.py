@@ -118,11 +118,60 @@ def _lane_filt_decim(x, wq2):
     return lo, hi
 
 
+def _adm0_dma_only_kernel(
+    ref_hbm, dis_hbm, sums_ref, rbuf, dbuf, sem_r, sem_d,
+    *, strip: int,
+):
+    """Profiling stage 0: the production kernel's double-buffered input DMA
+    and the small sums write, WITHOUT the two (strip, wq2) output blocks —
+    isolates the big-output VMEM->HBM write cost from the input path."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    n_s = pl.num_programs(1)
+    rows_in = 2 * strip + 8
+    k = i * n_s + s
+    slot = jax.lax.rem(k, 2)
+
+    def dma_pair(kk, sl):
+        ii = kk // n_s
+        ss = jax.lax.rem(kk, n_s)
+        return (
+            pltpu.make_async_copy(
+                ref_hbm.at[ii, pl.ds(2 * ss * strip, rows_in), :],
+                rbuf.at[sl], sem_r.at[sl],
+            ),
+            pltpu.make_async_copy(
+                dis_hbm.at[ii, pl.ds(2 * ss * strip, rows_in), :],
+                dbuf.at[sl], sem_d.at[sl],
+            ),
+        )
+
+    @pl.when(k == 0)
+    def _():
+        a, b_ = dma_pair(k, slot)
+        a.start()
+        b_.start()
+
+    @pl.when(k + 1 < pl.num_programs(0) * n_s)
+    def _():
+        a, b_ = dma_pair(k + 1, 1 - slot)
+        a.start()
+        b_.start()
+
+    cur_r, cur_d = dma_pair(k, slot)
+    cur_r.wait()
+    cur_d.wait()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    sums_ref[0, s, :] = jnp.where(
+        lane == 0, rbuf[slot][0, 0] + dbuf[slot][0, 0], 0.0
+    )[0]
+
+
 def _adm0_kernel(
     ref_hbm, dis_hbm, sums_ref, aref_out, adis_out,
     rbuf, dbuf, sem_r, sem_d,
     *, h2: int, w2: int, wq2: int, top: int, left: int,
-    fh: float, fd: float, egl, strip: int,
+    fh: float, fd: float, egl, strip: int, stages: int = 6,
 ):
     """Grid (B, n_strips). Strip s covers subband rows [s*strip, (s+1)*strip).
 
@@ -180,6 +229,22 @@ def _adm0_kernel(
     cur_r.wait()
     cur_d.wait()
 
+    # --- stage-bisection early exits (profiling; `stages` is static) --------
+    # Each truncated variant performs the SAME output writes (one packed
+    # sums row + two (strip, wq2) blocks) so successive deltas isolate one
+    # compute stage. stages: 1=DMA only, 2=+row matmuls, 3=+column matmuls,
+    # 4=+decouple, 5=+masking spread, 6=full (pooling).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def _early_exit(a, b_, scalar):
+        sums_ref[0, s, :] = jnp.where(lane == 0, scalar, 0.0)[0]
+        aref_out[0, :, :] = a[1 : strip + 1, 0:wq2]
+        adis_out[0, :, :] = b_[1 : strip + 1, 0:wq2]
+
+    if stages <= 1:
+        _early_exit(rbuf[slot], dbuf[slot], rbuf[slot][0, 0])
+        return
+
     # --- banded row-filter + row-decimation matrices ------------------------
     # Output row r represents subband row g = g0 + r - 1 (r=0 and r=strip+1
     # are the spread halo). Window = input local rows [base, base+3] with
@@ -218,11 +283,20 @@ def _adm0_kernel(
     lo_r, hi_r = rows_fused(rbuf[slot])
     lo_d, hi_d = rows_fused(dbuf[slot])
 
+    if stages <= 2:
+        _early_exit(lo_r, lo_d, hi_r[0, 0] + hi_d[0, 0])
+        return
+
     # --- column filters + lane decimation (MXU banded matmuls) -------------
     oa, oh = _lane_filt_decim(lo_r, wq2)
     ov, od = _lane_filt_decim(hi_r, wq2)
     ta, th = _lane_filt_decim(lo_d, wq2)
     tv, td = _lane_filt_decim(hi_d, wq2)
+
+    if stages <= 3:
+        _early_exit(oa, ta, oh[0, 0] + ov[0, 0] + od[0, 0] + th[0, 0]
+                    + tv[0, 0] + td[0, 0])
+        return
 
     # --- decoupling (vmaf.adm._decouple, scale-0 CSF folded in later) ------
     eps = 1e-30
@@ -245,6 +319,10 @@ def _adm0_kernel(
         jnp.abs((th - rh) * fh) + jnp.abs((tv - rv) * fh) + jnp.abs((td - rd) * fd)
     )
 
+    if stages <= 4:
+        _early_exit(oa, ta, spread_in[0, 0])
+        return
+
     # --- 3x3 masking spread (center weight 2, /30) --------------------------
     # Lanes ARE decimated columns now; neighbors are +-1, edge-replicated at
     # the image's left/right boundary.
@@ -261,6 +339,10 @@ def _adm0_kernel(
         rowsum[0:strip] + rowsum[1 : strip + 1] + rowsum[2 : strip + 2]
         + spread_in[1 : strip + 1]
     ) / 30.0
+
+    if stages <= 5:
+        _early_exit(oa, ta, thr[0, 0])
+        return
 
     # --- center-crop-masked L3 pooling partial sums -------------------------
     out_rows = jax.lax.broadcasted_iota(jnp.int32, (strip, wq2), 0) + g0
@@ -294,10 +376,12 @@ def _adm0_kernel(
     adis_out[0, :, :] = ta[1 : strip + 1]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "egl", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "egl", "interpret", "stages")
+)
 def adm_scale_pallas(
     ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int = 0,
-    egl=None, interpret: bool = False,
+    egl=None, interpret: bool = False, stages: int = 6,
 ):
     """Fused ADM at one scale over (B, H, W) luma (the scale's approximation
     band — the original luma at scale 0).
@@ -351,11 +435,34 @@ def adm_scale_pallas(
     offset = (area / 32.0) ** (1.0 / 3.0)
     fh, _, fd = csf_rfactors(scale)  # fh == fv at every scale
 
+    if stages == 0:
+        # Profiling: input path + sums only (see _adm0_dma_only_kernel).
+        sums = pl.pallas_call(
+            functools.partial(_adm0_dma_only_kernel, strip=strip),
+            out_shape=jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
+            grid=(b, n_strips),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows_in, wq), jnp.float32),
+                pltpu.VMEM((2, rows_in, wq), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(prep(ref_y), prep(dis_y))
+        z = jnp.zeros((b, h2, w2), jnp.float32)
+        return jnp.sum(sums[..., 0], axis=-1), jnp.sum(sums[..., 1], -1), z, z
+
     sums, a_ref, a_dis = pl.pallas_call(
         functools.partial(
             _adm0_kernel,
             h2=h2, w2=w2, wq2=wq2, top=top, left=left,
-            fh=float(fh), fd=float(fd), egl=egl, strip=strip,
+            fh=float(fh), fd=float(fd), egl=egl, strip=strip, stages=stages,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),

@@ -13,25 +13,36 @@ This kernel streams row strips of both lumas through VMEM and writes only:
   four DWT levels (only the Watson CSF weights and input size change);
   ``adm_features_pallas`` chains it level to level.
 
+The kernel reads the RAW (unpadded) luma: every border effect — the db2
+reflect halo on rows AND lanes, the subband-grid edge replication for the
+masking spread, the block padding of chained inputs — is encoded in the
+banded selection matrices and clamped DMA windows (round 3e). The previous
+design pre-padded inputs with a chain of XLA ``jnp.pad`` ops; stage
+bisection (scripts/probe_adm_stages.py) measured that prep at 29 ms of the
+55 ms scale-0 total at 128x1080p — by far the largest single cost — while
+the pad CONTENT only feeds a handful of band-matrix taps. Chained scales
+now also pass their block-padded outputs forward directly (valid dims
+carried as statics), killing the inter-scale crop copies.
+
 Per-strip dataflow (everything in VMEM):
 
 1. db2 row filter + row decimation fused as ONE banded selection matmul per
-   (stream, lo/hi) — the band matrix also encodes the mirror border and the
-   edge-replicated spread halo rows, so no in-kernel boundary branches;
+   (stream, lo/hi) — the band matrix encodes the top/bottom mirror border
+   and the edge-replicated spread halo rows against RAW row indices;
 2. db2 column filter + LANE DECIMATION fused as tiled banded matmuls on the
-   MXU (one shared (384, 256) LO|HI band per 128-lane output block — the
-   ``_filt_lanes_mxu`` pattern of ``vif_pallas``). Round 3d: this replaced
-   4-tap `pltpu.roll` lane convolutions evaluated at EVERY lane (decimation
-   by masking), and halves the lane width of everything downstream — the
-   even-offset-only layout made 50% of the decouple/CSF/masking/pooling VPU
-   work dead;
+   MXU (one shared (384, 256) LO|HI band for interior 128-lane output
+   blocks; the first/last blocks get their own matrices encoding the lane
+   mirror). Replaces 4-tap `pltpu.roll` lane convolutions evaluated at
+   EVERY lane — the even-offset-only layout made 50% of the decouple/CSF/
+   masking/pooling VPU work dead;
 3. decoupling (cos 1 deg test, optional NEG gain cap), Watson CSF weighting,
    the 3x3 contrast-masking spread (sublane static slices x lane +-1 rolls
    with edge-replication masks), and the center-crop-masked cube-power sums
    — all on the decimated (half-width) lane grid.
 
 Layout rules honored (CLAUDE.md): static-shift `pltpu.roll` only, no
-lane-splitting reshapes, lane-aligned outputs, masked ragged strips.
+lane-splitting reshapes, lane-aligned outputs, masked ragged strips,
+8-aligned dynamic DMA row offsets.
 
 Replaces the capability the reference buys from libvmaf at
 ``/root/reference/video_processing.py:280-282``. Exact-math peer of
@@ -64,9 +75,7 @@ from rtvqa_tpu.kernels.vif_pallas import FILTER_PRECISION  # noqa: E402
 
 STRIP = 32          # decimated (subband-grid) rows produced per grid step —
                     # sized to amortize the ~15 us/cell Mosaic grid + DMA
-                    # overhead (the dominant kernel cost at 1080p) within the
-                    # VMEM budget
-HALO_IN = 4         # input mirror halo (covers db2 reflect depth 2 + spread)
+                    # overhead within the VMEM budget
 LO = tuple(float(v) for v in DB2_LO)
 HI = tuple(float(v) for v in DB2_HI)
 
@@ -75,40 +84,62 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _lane_filt_decim(x, wq2):
-    """db2 column filter + LANE DECIMATION fused as tiled banded matmuls on
-    the MXU (the ``vif_pallas._filt_lanes_mxu`` pattern, plus the stride-2
-    decimation folded into the band): output lane c = decimated column c =
-    sum_t taps[t] * x[:, 2c + 2 + t] (the +2 absorbs the HALO_IN=4 reflect
-    pad and the t-2 window center). Returns (lo, hi) of shape (rows, wq2).
+def _col_band(j: int, w: int, a_j: int, sw: int, pure: bool):
+    """LO|HI column-filter + decimation band matrix for output block j.
 
-    Output block j (128 decimated columns) reads input lanes
-    [256j + 2, 256j + 262) — inside the lane-aligned 3-block slice
-    x[:, 256j : 256j + 384]; one (384, 256) LO|HI band matrix is shared by
-    every block. Replaces the round-3a VPU formulation (4 `pltpu.roll`
-    lane shuffles per stream at FULL lane width, decimation by masking)
-    AND halves the lane width of every downstream decouple/CSF/masking/
-    pooling VPU chain — the even-offset lanes were 50% dead work.
-    The caller pads the input so the last slice stays in bounds (an
-    in-kernel zero-block concat hits a Mosaic layout-offset limitation:
-    the row-matmul slices carry a sublane offset the concat can't merge).
-    """
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 0)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 1)
-    d = l_ids - (2 * c_ids + 2)
+    Output decimated column c (global; c' = c - 128j local) contracts raw
+    lanes q_t = 2c + t - 2 (t = 0..3) of the ``sw``-lane slice starting at
+    ``a_j``. ``pure`` blocks (every tap strictly inside the valid lane
+    range) share ONE matrix: l = 2c' + 126 + t, independent of j. Edge
+    blocks mirror q < 0 -> -q and q >= w -> 2(w-1) - q (np.pad 'reflect'),
+    clipped to the valid range for the garbage output columns beyond the
+    decimated width (their values are masked downstream; they only must
+    stay finite)."""
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, 128), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, 128), 1)
 
     def band(tp):
         m = None
         for t, wgt in enumerate(tp):
-            term = jnp.where(d == t, float(wgt), 0.0)
+            if pure:
+                hit = l_ids == 2 * c_ids + 126 + t
+            else:
+                q = 2 * (c_ids + 128 * j) + t - 2
+                q = jnp.abs(q)
+                q = jnp.where(q >= w, jnp.clip(2 * (w - 1) - q, 0, w - 1), q)
+                l_t = q - a_j
+                hit = (l_ids == l_t) & (l_t >= 0) & (l_t < sw)
+            term = jnp.where(hit, float(wgt), 0.0)
             m = term if m is None else m + term
         return m
 
-    m2 = jnp.concatenate([band(LO), band(HI)], axis=1)  # (384, 256)
-    los, his = [], []
+    return jnp.concatenate([band(LO), band(HI)], axis=1)  # (sw, 256)
+
+
+def _lane_filt_plan(w: int, w_arr: int, wq2: int):
+    """Static per-block (slice start, slice width, pure?) plan for
+    ``_lane_filt_decim``."""
+    sw = min(384, w_arr)
+    plan = []
     for j in range(wq2 // 128):
+        a_j = 0 if j == 0 else 256 * j - 128
+        if a_j + sw > w_arr:
+            a_j = w_arr - sw
+        pure = (
+            j > 0 and 256 * j + 255 <= w - 1
+            and a_j == 256 * j - 128 and sw == 384
+        )
+        plan.append((a_j, sw, pure))
+    return plan
+
+
+def _lane_filt_decim(x, bands, plan):
+    """Apply the per-block banded column-filter matmuls; returns (lo, hi)
+    of shape (rows, 128 * len(plan))."""
+    los, his = [], []
+    for (a_j, sw, pure), m2 in zip(plan, bands):
         y = jnp.dot(
-            x[:, 256 * j : 256 * j + 384], m2,
+            x[:, a_j : a_j + sw], m2,
             preferred_element_type=jnp.float32, precision=FILTER_PRECISION,
         )
         los.append(y[:, :128])
@@ -118,9 +149,18 @@ def _lane_filt_decim(x, wq2):
     return lo, hi
 
 
+def _dma_row_start(g0, h_arr: int, rows_in: int):
+    """8-aligned raw-row DMA start whose ``rows_in`` window covers every
+    band tap of the strip at subband row offset ``g0`` (taps live in raw
+    rows [max(0, 2*g0 - 4), 2*(g0 + strip) + 1]). The multiply by 8 is the
+    LAST op so Mosaic can prove the sublane-tile divisibility of the
+    dynamic slice offset (clip-then-floor forms fail that proof)."""
+    return jnp.clip((2 * g0 - 4) // 8, 0, (h_arr - rows_in) // 8) * 8
+
+
 def _adm0_dma_only_kernel(
     ref_hbm, dis_hbm, sums_ref, rbuf, dbuf, sem_r, sem_d,
-    *, strip: int,
+    *, strip: int, h_arr: int,
 ):
     """Profiling stage 0: the production kernel's double-buffered input DMA
     and the small sums write, WITHOUT the two (strip, wq2) output blocks —
@@ -128,21 +168,22 @@ def _adm0_dma_only_kernel(
     i = pl.program_id(0)
     s = pl.program_id(1)
     n_s = pl.num_programs(1)
-    rows_in = 2 * strip + 8
+    rows_in = 2 * strip + 16
     k = i * n_s + s
     slot = jax.lax.rem(k, 2)
 
     def dma_pair(kk, sl):
         ii = kk // n_s
         ss = jax.lax.rem(kk, n_s)
+        st = _dma_row_start(ss * strip, h_arr, rows_in)
         return (
             pltpu.make_async_copy(
-                ref_hbm.at[ii, pl.ds(2 * ss * strip, rows_in), :],
-                rbuf.at[sl], sem_r.at[sl],
+                ref_hbm.at[ii, pl.ds(st, rows_in), :], rbuf.at[sl],
+                sem_r.at[sl],
             ),
             pltpu.make_async_copy(
-                dis_hbm.at[ii, pl.ds(2 * ss * strip, rows_in), :],
-                dbuf.at[sl], sem_d.at[sl],
+                dis_hbm.at[ii, pl.ds(st, rows_in), :], dbuf.at[sl],
+                sem_d.at[sl],
             ),
         )
 
@@ -170,46 +211,47 @@ def _adm0_dma_only_kernel(
 def _adm0_kernel(
     ref_hbm, dis_hbm, sums_ref, aref_out, adis_out,
     rbuf, dbuf, sem_r, sem_d,
-    *, h2: int, w2: int, wq2: int, top: int, left: int,
-    fh: float, fd: float, egl, strip: int, stages: int = 6,
+    *, h: int, w: int, h_arr: int, h2: int, w2: int, wq2: int,
+    top: int, left: int, fh: float, fd: float, egl, strip: int,
+    stages: int = 6,
 ):
     """Grid (B, n_strips). Strip s covers subband rows [s*strip, (s+1)*strip).
 
-    The DMA'd input rows are the mirror-padded luma rows [2*s*strip,
-    2*s*strip + ROWS); banded matrices map them to subband rows
-    [s*strip - 1, s*strip + strip + 1) (one spread-halo row each side,
-    edge-replicated at the image boundary via clamped row selection).
+    The DMA'd window holds RAW luma rows [st, st + rows_in) with the
+    8-aligned clamped start from ``_dma_row_start``; banded matrices map
+    them to subband rows [s*strip - 1, s*strip + strip + 1) (one spread-halo
+    row each side), encoding the reflect border and the subband-grid edge
+    replication directly against raw row indices.
     """
     i = pl.program_id(0)
     s = pl.program_id(1)
     n_i = pl.num_programs(0)
     n_s = pl.num_programs(1)
-    rows_in = 2 * strip + 8
+    rows_in = 2 * strip + 16
     rows_out = strip + 2
     g0 = s * strip
+    st = _dma_row_start(g0, h_arr, rows_in)
 
     # --- double-buffered input DMA (round 3d) -------------------------------
     # Cell k reads slot k%2, whose DMA was started by cell k-1 (cell 0
     # starts its own); before waiting, it starts cell k+1's DMA into the
     # other slot, so the next strip's HBM reads overlap this strip's
-    # compute. The start/wait-in-cell form was DMA-serialization-bound:
-    # strip-size doubling (25->16 cells) and lane-width halving (the round-3d
-    # decimated column matmuls) were BOTH neutral at ~110 ms / 128x1080p —
-    # the constant was total DMA bytes, not per-cell overhead or VPU width.
+    # compute.
     k = i * n_s + s
     slot = jax.lax.rem(k, 2)
 
     def dma_pair(kk, sl):
         ii = kk // n_s
         ss = jax.lax.rem(kk, n_s)
+        stk = _dma_row_start(ss * strip, h_arr, rows_in)
         return (
             pltpu.make_async_copy(
-                ref_hbm.at[ii, pl.ds(2 * ss * strip, rows_in), :],
-                rbuf.at[sl], sem_r.at[sl],
+                ref_hbm.at[ii, pl.ds(stk, rows_in), :], rbuf.at[sl],
+                sem_r.at[sl],
             ),
             pltpu.make_async_copy(
-                dis_hbm.at[ii, pl.ds(2 * ss * strip, rows_in), :],
-                dbuf.at[sl], sem_d.at[sl],
+                dis_hbm.at[ii, pl.ds(stk, rows_in), :], dbuf.at[sl],
+                sem_d.at[sl],
             ),
         )
 
@@ -247,29 +289,29 @@ def _adm0_kernel(
 
     # --- banded row-filter + row-decimation matrices ------------------------
     # Output row r represents subband row g = g0 + r - 1 (r=0 and r=strip+1
-    # are the spread halo). Window = input local rows [base, base+3] with
-    # base = 2*(g_eff - g0) + 2, g_eff = clip(g, 0, h2-1) (edge replication
-    # of the SUBBAND grid at the image boundary, matching the oracle's
-    # np.pad(mode='edge') in the masking spread).
+    # are the spread halo). Tap t of subband row g_eff = clip(g, 0, h2-1)
+    # (edge replication of the SUBBAND grid, matching the oracle's
+    # np.pad(mode='edge') in the masking spread) sits at raw row
+    # rr = 2*g_eff + t - 2, reflected at both image borders.
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, rows_in), 0)
     l_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, rows_in), 1)
     g = g0 + r_ids - 1
     g_eff = jnp.clip(g, 0, h2 - 1)
-    base = 2 * (g_eff - g0) + 2
 
     def band_matrix(taps):
         m = None
-        for t, w in enumerate(taps):
-            term = jnp.where(l_ids == base + t, float(w), 0.0)
+        for t, wgt in enumerate(taps):
+            rr = 2 * g_eff + t - 2
+            rr = jnp.abs(rr)                       # reflect top: -k -> k
+            rr = jnp.where(rr >= h, 2 * (h - 1) - rr, rr)  # reflect bottom
+            term = jnp.where(l_ids == rr - st, float(wgt), 0.0)
             m = term if m is None else m + term
         return m
 
     # lo and hi row filters stacked into ONE matrix per stream: each matmul
-    # is tiny (rows_out x rows_in, e.g. 34 x 72) so a 34-row M dimension
+    # is tiny (rows_out x rows_in, e.g. 34 x 80) so a 34-row M dimension
     # wastes 3/4 of the 128-wide systolic rows — stacking doubles MXU row
-    # occupancy and halves the matmul dispatches. Each output row's
-    # contraction is unchanged (equal to the separate dots to ~1e-6; the
-    # stacked shape tiles the MXU differently).
+    # occupancy and halves the matmul dispatches.
     m_both = jnp.concatenate([band_matrix(LO), band_matrix(HI)], axis=0)
 
     def rows_fused(x):
@@ -288,10 +330,21 @@ def _adm0_kernel(
         return
 
     # --- column filters + lane decimation (MXU banded matmuls) -------------
-    oa, oh = _lane_filt_decim(lo_r, wq2)
-    ov, od = _lane_filt_decim(hi_r, wq2)
-    ta, th = _lane_filt_decim(lo_d, wq2)
-    tv, td = _lane_filt_decim(hi_d, wq2)
+    w_arr = rbuf.shape[-1]
+    plan = _lane_filt_plan(w, w_arr, wq2)
+    shared = None
+    bands = []
+    for j, (a_j, sw, pure) in enumerate(plan):
+        if pure:
+            if shared is None:
+                shared = _col_band(j, w, a_j, sw, True)
+            bands.append(shared)
+        else:
+            bands.append(_col_band(j, w, a_j, sw, False))
+    oa, oh = _lane_filt_decim(lo_r, bands, plan)
+    ov, od = _lane_filt_decim(hi_r, bands, plan)
+    ta, th = _lane_filt_decim(lo_d, bands, plan)
+    tv, td = _lane_filt_decim(hi_d, bands, plan)
 
     if stages <= 3:
         _early_exit(oa, ta, oh[0, 0] + ov[0, 0] + od[0, 0] + th[0, 0]
@@ -324,7 +377,7 @@ def _adm0_kernel(
         return
 
     # --- 3x3 masking spread (center weight 2, /30) --------------------------
-    # Lanes ARE decimated columns now; neighbors are +-1, edge-replicated at
+    # Lanes ARE decimated columns; neighbors are +-1, edge-replicated at
     # the image's left/right boundary.
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, wq2), 1)
     left_n = jnp.where(
@@ -365,7 +418,6 @@ def _adm0_kernel(
     nv, dv = pool(rv, ov, fh)
     nd, dd = pool(rd, od, fd)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     packed = jnp.zeros((1, 128), jnp.float32)
     for idx, val in enumerate((nh, dh, nv, dv, nd, dd)):
         packed = jnp.where(lane == idx, val, packed)
@@ -377,57 +429,73 @@ def _adm0_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "egl", "interpret", "stages")
+    jax.jit,
+    static_argnames=("scale", "egl", "interpret", "stages", "h", "w", "crop"),
 )
 def adm_scale_pallas(
     ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int = 0,
     egl=None, interpret: bool = False, stages: int = 6,
+    h: int | None = None, w: int | None = None, crop: bool = True,
 ):
     """Fused ADM at one scale over (B, H, W) luma (the scale's approximation
     band — the original luma at scale 0).
 
     The db2 DWT taps are scale-invariant; only the Watson CSF weights and
     the input size change per level, so one kernel serves all four scales.
-    Returns (num (B,), den (B,), a_ref (B, H2, W2), a_dis (B, H2, W2)):
-    this scale's pooling contributions (offsets included) and the next
-    scale's inputs.
+    ``h``/``w`` give the VALID input dims when the arrays carry block
+    padding (the chained a_ref/a_dis outputs do); rows/lanes beyond them are
+    ignored (they only must be finite). With ``crop=False`` the returned
+    approximation bands keep their block padding — the chaining path uses
+    this to avoid two full-size crop copies per scale.
+
+    Returns (num (B,), den (B,), a_ref, a_dis): this scale's pooling
+    contributions (offsets included) and the next scale's inputs
+    ((B, H2, W2) when cropped).
     """
-    b, h, w = ref_y.shape
+    b, h_in, w_in = ref_y.shape
+    h = h_in if h is None else h
+    w = w_in if w is None else w
     h2, w2 = (h + 1) // 2, (w + 1) // 2
     # Adaptive strip (round 3, as in vif_pallas): VMEM scales with strip x
-    # padded width — NARROW deeper scales afford taller strips (1080p:
-    # 17/9/5/3 cells per frame drop to 17/5/2/1). Doubling strips again
-    # (9/3/2/2 cells) was measured NEUTRAL on the v5e (131 vs 125 ms for
-    # 128x1080p all-scales): the kernel is compute/DMA-bound, not
+    # padded width — NARROW deeper scales afford taller strips. Doubling
+    # strips (9/3/2/2 cells at 1080p) was measured NEUTRAL on the v5e (131
+    # vs 125 ms for 128x1080p all-scales): the kernel is not
     # per-cell-overhead-bound — don't re-derive this.
     if w >= 1536:
-        strip = STRIP
+        # 24 (not 32): the raw-input kernel carries three column band
+        # matrices (interior + both lane-mirror edges) and a 16-row DMA
+        # window margin — strip 32 exceeds the 16 MB scoped-VMEM budget by
+        # ~0.9 MB at 1920 lanes (measured). Cell count is NOT a cost here.
+        strip = 24
     elif w >= 640:
         strip = 2 * STRIP
     else:
         strip = 4 * STRIP
     while strip > 16 and strip - h2 >= 16:
         strip //= 2
+    # The raw-input DMA window needs rows_in <= input rows.
+    while strip > 8 and 2 * strip + 16 > h_in:
+        strip //= 2
     n_strips = -(-h2 // strip)
     wq2 = 128 * (-(-w2 // 128))  # decimated lane width (output blocks)
-    # The last 384-wide column-filter slice reads up to lane
-    # 256*(wq2/128 - 1) + 384 — pad the input that wide (edge mode; the
-    # extra lanes only feed masked-out output columns). At 1080p this is
-    # 2176 vs 2048 (+6% DMA; an in-VMEM zero extension instead trips a
-    # Mosaic concat layout-offset limitation).
-    wq = max(_round_up(w + 2 * HALO_IN, 128), 256 * (wq2 // 128 - 1) + 384)
-    rows_in = 2 * strip + 8
-    pad_h_target = 2 * strip * n_strips + 8
+    rows_in = 2 * strip + 16
+
+    # Raw-input fast path: everything border-related lives in the kernel's
+    # band matrices. A single cheap edge-pad fallback covers inputs whose
+    # storage doesn't meet the DMA alignment contract (lane width % 128,
+    # rows % 8, rows >= window) — never hit by 1080p/4K or chained scales.
+    pad_rows = max(_round_up(h_in, 8), rows_in) - h_in
+    pad_lanes = _round_up(w_in, 128) - w_in
 
     def prep(x):
         x = x.astype(jnp.float32)
-        x = jnp.pad(x, ((0, 0), (0, 0), (HALO_IN, HALO_IN)), mode="reflect")
-        x = jnp.pad(x, ((0, 0), (HALO_IN, HALO_IN), (0, 0)), mode="reflect")
-        return jnp.pad(
-            x,
-            ((0, 0), (0, pad_h_target - (h + 2 * HALO_IN)), (0, wq - w - 2 * HALO_IN)),
-            mode="edge",
-        )
+        if pad_rows or pad_lanes:
+            x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, pad_lanes)),
+                        mode="edge")
+        return x
+
+    h_arr = h_in + pad_rows
+    w_arr = w_in + pad_lanes
 
     ys, xs = _center_crop_slices(h2, w2)
     top, left = ys.start, xs.start
@@ -438,7 +506,9 @@ def adm_scale_pallas(
     if stages == 0:
         # Profiling: input path + sums only (see _adm0_dma_only_kernel).
         sums = pl.pallas_call(
-            functools.partial(_adm0_dma_only_kernel, strip=strip),
+            functools.partial(
+                _adm0_dma_only_kernel, strip=strip, h_arr=h_arr
+            ),
             out_shape=jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
             grid=(b, n_strips),
             in_specs=[
@@ -448,8 +518,8 @@ def adm_scale_pallas(
             out_specs=pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, rows_in, wq), jnp.float32),
-                pltpu.VMEM((2, rows_in, wq), jnp.float32),
+                pltpu.VMEM((2, rows_in, w_arr), jnp.float32),
+                pltpu.VMEM((2, rows_in, w_arr), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -461,7 +531,7 @@ def adm_scale_pallas(
     sums, a_ref, a_dis = pl.pallas_call(
         functools.partial(
             _adm0_kernel,
-            h2=h2, w2=w2, wq2=wq2, top=top, left=left,
+            h=h, w=w, h_arr=h_arr, h2=h2, w2=w2, wq2=wq2, top=top, left=left,
             fh=float(fh), fd=float(fd), egl=egl, strip=strip, stages=stages,
         ),
         out_shape=(
@@ -483,8 +553,8 @@ def adm_scale_pallas(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rows_in, wq), jnp.float32),
-            pltpu.VMEM((2, rows_in, wq), jnp.float32),
+            pltpu.VMEM((2, rows_in, w_arr), jnp.float32),
+            pltpu.VMEM((2, rows_in, w_arr), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -505,10 +575,10 @@ def adm_scale_pallas(
         + jnp.sum(sums[..., 5], axis=-1) ** third
         + 3.0 * offset
     )
-    # Kernel lanes ARE the decimated grid now — just crop the block padding.
-    ar = a_ref[:, :h2, :w2]
-    ad = a_dis[:, :h2, :w2]
-    return num0, den0, ar, ad
+    if crop:
+        # Kernel lanes ARE the decimated grid — just crop the block padding.
+        return num0, den0, a_ref[:, :h2, :w2], a_dis[:, :h2, :w2]
+    return num0, den0, a_ref, a_dis
 
 
 def adm_scale0_pallas(
@@ -523,14 +593,19 @@ def adm_features_pallas(
 ) -> dict[str, jnp.ndarray]:
     """adm2 with every DWT level as the fused Pallas kernel (the XLA levels
     materialize ~20 HBM intermediates each even at quarter size). Matches
-    ``vmaf.adm.adm_features``."""
+    ``vmaf.adm.adm_features``. Chained scales pass their block-padded
+    approximation bands forward uncropped (valid dims as statics) — no
+    inter-scale crop copies."""
     interpret = jax.default_backend() == "cpu"
     num = den = 0.0
     o, t = ref_y, dis_y
+    h, w = int(ref_y.shape[-2]), int(ref_y.shape[-1])
     for scale in range(4):
         n_s, d_s, o, t = adm_scale_pallas(
-            o, t, scale, egl=enhn_gain_limit, interpret=interpret
+            o, t, scale, egl=enhn_gain_limit, interpret=interpret,
+            h=h, w=w, crop=False,
         )
+        h, w = (h + 1) // 2, (w + 1) // 2
         num = num + n_s
         den = den + d_s
     return {"adm2": adm_finalize(num, den, ref_y.shape)}

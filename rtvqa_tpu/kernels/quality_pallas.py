@@ -51,8 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 from rtvqa_tpu.kernels.vif_pallas import (
     _EPS,
     _SIGMA_NSQ,
-    _filt_lanes_mxu,
-    _filt_rows_mxu,
+    _dma_row_start,
+    _filt_lanes_raw,
+    _filt_rows_raw,
     _round_up,
     resolve_fast3,
 )
@@ -72,37 +73,45 @@ LANE_SSIM_Y, LANE_SSIM_U, LANE_SSIM_V = 5, 6, 7
 LANE_SAD = 8
 
 
-def _pool4_lane_band():
-    """(640, 128) band for ``x @ M`` lane pooling: output lane c sums input
-    lanes [8 + 4c, 8 + 4c + 4) — dim 0 is the matmul's INPUT (contraction)
-    axis, dim 1 the output lane.
-
-    Shared by the luma tiles (slices at 512t + 128 of the +136-lane-offset
-    buffer) and the chroma tiles (slices at 512t of the +8-lane-offset
-    buffer): in both cases the slice-relative data offset is 8.
-    """
-    i_ids = jax.lax.broadcasted_iota(jnp.int32, (640, 128), 0)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (640, 128), 1)
-    d = i_ids - (8 + 4 * c_ids)
+def _pool4_lane_band(sw: int, delta: int):
+    """(sw, 128) band for ``x @ M`` lane pooling: output lane c sums slice
+    lanes [delta + 4c, delta + 4c + 4) — dim 0 is the matmul's INPUT
+    (contraction) axis, dim 1 the output lane. Out-of-slice taps (clamped
+    edge tiles' garbage output lanes) contribute zero."""
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, 128), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, 128), 1)
     m = None
     for t in range(4):
-        term = jnp.where(d == t, 1.0, 0.0)
+        l_t = delta + 4 * c_ids + t
+        term = jnp.where((i_ids == l_t) & (l_t < sw), 1.0, 0.0)
         m = term if m is None else m + term
     return m
 
 
-def _lane_pool4(x, n_tiles, first_slice_off):
+def _lane_pool4(x, n_tiles, data_off):
     """4x lane pooling of ``x`` via tiled band matmuls; returns
-    (rows, 128 * n_tiles) block sums for block cols 0..128*n_tiles-1."""
-    band = _pool4_lane_band()
+    (rows, 128 * n_tiles) block sums: output lane c of tile t sums input
+    lanes [data_off + 4*(128t + c), ...+4). Slices are 128-lane-aligned and
+    clamped into the array (static per-tile band offset delta < 128 + the
+    clamp slack; taps of garbage output lanes beyond the valid width fall
+    outside the slice and the band zeroes them — valid-lane coverage holds
+    whenever data_off + valid_width <= x width, which both callers satisfy
+    by construction)."""
+    w_arr = x.shape[-1]
+    sw = min(640, w_arr)
+    bands = {}
     outs = []
     for t in range(n_tiles):
-        sl = x[:, first_slice_off + 512 * t : first_slice_off + 512 * t + 640]
+        a_t = min(((data_off + 512 * t) // 128) * 128, w_arr - sw)
+        delta = data_off + 512 * t - a_t
+        if delta not in bands:
+            bands[delta] = _pool4_lane_band(sw, delta)
         outs.append(
-            jnp.dot(sl, band, preferred_element_type=jnp.float32,
+            jnp.dot(x[:, a_t : a_t + sw], bands[delta],
+                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
         )
-    return jnp.concatenate(outs, axis=1)
+    return outs[0] if n_tiles == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _ssim_from_windows(win, br_mod, n_br_valid, wr_base, n_win_rows, n_win_cols):
@@ -156,46 +165,45 @@ def _roll2(x, shift_rows, shift_lanes):
     return y
 
 
-def _blur5(x):
-    """Separable FILTER_5 blur via 8 static rolls (out[r,l] needs
-    x[r-2..r+2, l-2..l+2]; roll(shift=s) maps out[i] <- x[i-s])."""
-    taps = tuple(float(v) for v in FILTER_5)
-    acc = None
-    for t in range(5):
-        term = float(taps[t]) * _roll2(x, 2 - t, 0)
-        acc = term if acc is None else acc + term
-    acc2 = None
-    for t in range(5):
-        term = float(taps[t]) * _roll2(acc, 0, 2 - t)
-        acc2 = term if acc2 is None else acc2 + term
-    return acc2
-
-
 def _fused_q_kernel(
     ref_hbm, dis_hbm, ru_hbm, du_hbm, rv_hbm, dv_hbm, pblur_hbm,
     out_ref, dec_ref_out, dec_dis_out, blur_out,
     rbuf, dbuf, cbufs, pblur_buf, blur_prev,
     sem_r, sem_d, sem_c, sem_p,
-    *, h: int, w: int, wq: int, wq_b: int, h2: int, w2: int,
+    *, h: int, w: int, h_arr: int, wq2: int, h2: int, w2: int,
     n_tiles_y: int, n_tiles_c: int, taps_stats, taps_dec, egl, strip: int,
     fast3: bool = False,
 ):
     """Grid (n_strips, B) — strip-major, frame-minor (the blur_prev scratch
-    carries frame i-1's blurred strip into cell (s, i))."""
+    carries frame i-1's blurred strip into cell (s, i)).
+
+    Round 3e: reads the RAW (unpadded) luma — reflect borders live in the
+    band matrices (``vif_pallas._lane_band_raw`` / ``_filt_rows_raw``), the
+    DMA window is the 8-aligned clamp of [s*strip - 8, s*strip + strip + 8),
+    and the motion blur runs as banded HIGHEST matmuls instead of rolls
+    over a pre-padded buffer. The XLA astype+pad luma prep this removes
+    measured ~30 ms/kernel/128-frame chunk (scripts/probe_adm_stages.py
+    methodology). The scale-1 decimation now also fuses its 2x LANE
+    decimation into the dec lane bands (stride=2), writing half-width dec
+    outputs directly (the external even_lanes matmul + crop are gone).
+    Chroma keeps its cheap zero-pad staging (quarter-size planes, and the
+    960-wide 1080p chroma isn't 128-lane-aligned raw).
+    """
     s = pl.program_id(0)
     i = pl.program_id(1)
-    halo = HALO
-    halo_pad = _round_up(halo, 4)
-    rows = strip + 2 * halo_pad  # 48
+    rows = strip + 16  # 8-row halo each side (17-tap moment filter)
     cstrip = strip // 2
     crows = cstrip + 8  # bottom block-row halo (4) rounded to sublane 8
+    row0 = s * strip
+    st = _dma_row_start(row0, h_arr, rows)
+    ro = row0 - st  # buffer-local row of the strip's first image row
 
     # --- DMAs ---------------------------------------------------------------
     dma_r = pltpu.make_async_copy(
-        ref_hbm.at[i, pl.ds(s * strip, rows), :], rbuf, sem_r
+        ref_hbm.at[i, pl.ds(st, rows), :], rbuf, sem_r
     )
     dma_d = pltpu.make_async_copy(
-        dis_hbm.at[i, pl.ds(s * strip, rows), :], dbuf, sem_d
+        dis_hbm.at[i, pl.ds(st, rows), :], dbuf, sem_d
     )
     dma_r.start()
     dma_d.start()
@@ -221,16 +229,23 @@ def _fused_q_kernel(
 
     r = rbuf[...]
     d = dbuf[...]
-    strip_valid = jnp.minimum(strip, h - s * strip)
+    w_arr = rbuf.shape[-1]
+    strip_valid = jnp.minimum(strip, h - row0)
 
     # --- program A, luma: SSE + blur/SAD + SSIM block sums ------------------
-    # Buffer coords: original pixel (row k, col j) of the strip sits at
-    # buffer (halo_pad + k, 128 + halo + j).
-    lane0 = 128 + halo
-    sse_y = _masked_sq_sum(r - d, strip_valid, halo_pad, lane0, w)
+    sse_y = _masked_sq_sum(r - d, strip_valid, ro, 0, w)
 
-    blur_full = _blur5(r)
-    blur_cur = _roll2(blur_full, 0, -lane0)[halo_pad : halo_pad + strip, 0:wq_b]
+    # FILTER_5 motion blur as banded matmuls (reflect borders in-band);
+    # always HIGHEST — never fast3 — to keep the motion feature exact.
+    taps_blur = tuple(float(v) for v in FILTER_5)
+    blur_lane = _filt_lanes_raw(
+        r, taps_blur, w, w_arr // 128, 1, False,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    blur_cur = _filt_rows_raw(
+        blur_lane, taps_blur, 1, strip, rows, 1, row0, st, h, False,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     rowsb = jax.lax.broadcasted_iota(jnp.int32, blur_cur.shape, 0)
     lanesb = jax.lax.broadcasted_iota(jnp.int32, blur_cur.shape, 1)
     bvalid = (rowsb < strip_valid) & (lanesb < w)
@@ -245,7 +260,8 @@ def _fused_q_kernel(
 
     # SSIM row pooling: out row o = m * 16 + br (m in 0..3, br in 0..8 used)
     # sums 4 buffer rows of the stacked segment(s) of moment m; moment 2 is
-    # r^2 + d^2 (ones in two segments).
+    # r^2 + d^2 (ones in two segments). Block row br starts at buffer row
+    # ro + 4*br (traced DMA offset).
     nbr_y = strip // 4  # window rows per strip (block rows minus halo)
 
     def _ssim_row_band():
@@ -255,7 +271,7 @@ def _fused_q_kernel(
         m_ids = o_ids // 16
         br = o_ids % 16
         seg_of_m = jnp.where(m_ids == 0, 0, jnp.where(m_ids == 1, 1, jnp.where(m_ids == 2, 2, 4)))
-        base = seg_of_m * rows + halo_pad + 4 * br
+        base = seg_of_m * rows + ro + 4 * br
         band = None
         for t in range(4):
             hit = (l_ids == base + t) & (br <= nbr_y)
@@ -269,7 +285,7 @@ def _fused_q_kernel(
         _ssim_row_band(), stacked,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
-    bs_y = _lane_pool4(row_pooled, n_tiles_y, 128)
+    bs_y = _lane_pool4(row_pooled, n_tiles_y, 0)
     win_y = bs_y + _roll2(bs_y, -1, 0)
     win_y = win_y + _roll2(win_y, 0, -1)
     ssim_y_sum = _ssim_from_windows(
@@ -308,7 +324,7 @@ def _fused_q_kernel(
         _ssim_row_band_c(), stacked_c,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
-    bs_c = _lane_pool4(row_pooled_c, n_tiles_c, 0)
+    bs_c = _lane_pool4(row_pooled_c, n_tiles_c, 8)
     win_c = bs_c + _roll2(bs_c, -1, 0)
     win_c = win_c + _roll2(win_c, 0, -1)
     ssim_u_sum = _ssim_from_windows(
@@ -319,9 +335,10 @@ def _fused_q_kernel(
     )
 
     # --- VIF scale 0 (kernels.vif_pallas dataflow, verbatim) ----------------
-    lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq, fast3)
-    row_off = halo_pad - halo
-    mom = _filt_rows_mxu(lane_f, taps_stats, 5, strip, rows, 1, row_off, fast3)
+    lane_f = _filt_lanes_raw(stacked, taps_stats, w, w_arr // 128, 1, fast3)
+    mom = _filt_rows_raw(
+        lane_f, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
+    )
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -350,19 +367,17 @@ def _fused_q_kernel(
 
     num = jnp.log2(1.0 + g * g * sigma1 / (sv + _SIGMA_NSQ))
     den = jnp.log2(1.0 + sigma1 / _SIGMA_NSQ)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 1)
     vvalid = (row_ids < strip_valid) & (col_ids < w)
     num_sum = jnp.sum(jnp.where(vvalid, num, 0.0))
     den_sum = jnp.sum(jnp.where(vvalid, den, 0.0))
 
-    # --- scale-1 pre-decimation filter + 2x row decimation ------------------
-    off = halo - len(taps_dec) // 2
-    off_row = halo_pad - len(taps_dec) // 2
+    # --- scale-1 pre-decimation filter + 2x decimation (both axes fused) ----
     rd_stack = jnp.concatenate([r, d], axis=0)
-    lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq, fast3)
+    lane9 = _filt_lanes_raw(rd_stack, taps_dec, w, wq2 // 128, 2, fast3)
     half = strip // 2
-    dec = _filt_rows_mxu(lane9, taps_dec, 2, half, rows, 2, off_row, fast3)
+    dec = _filt_rows_raw(lane9, taps_dec, 2, half, rows, 2, row0, st, h, fast3)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
@@ -381,10 +396,12 @@ def _fused_q_kernel(
     out_ref[0, :, :] = jnp.broadcast_to(packed, (8, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("egl", "interpret", "fast3"))
+@functools.partial(
+    jax.jit, static_argnames=("egl", "interpret", "fast3", "crop")
+)
 def quality_fused_pallas(
     ry, ru, rv, dy, du, dv, prev_blur, egl=None, interpret: bool = False,
-    fast3=None,
+    fast3=None, crop: bool = True,
 ):
     """Fused VIF-scale-0 + program-A over YUV420 batches.
 
@@ -392,50 +409,57 @@ def quality_fused_pallas(
     ``prev_blur`` (H, W) float32 — the blurred last ref-luma of the previous
     chunk (zeros for the first; the caller masks frame 0's SAD).
 
+    The kernel reads the RAW luma (no XLA pad prep — round 3e, see
+    ``_fused_q_kernel``); with ``crop=False`` the dec outputs keep their
+    block padding for the VIF scale-1 kernel to consume without crop copies
+    (pass ``h=ceil(H/2), w=ceil(W/2)`` to it).
+
     ``fast3`` (None = auto, ``vif_pallas.resolve_fast3``) selects the manual
     3-pass bf16 scheme for the VIF moment/decimation filter matmuls ONLY —
     the SSIM pooling matmuls always stay HIGHEST (integer exactness is a
-    correctness guarantee) and PSNR/motion never touch the MXU.
+    correctness guarantee) and PSNR/motion run HIGHEST banded matmuls.
 
     Returns a dict: ``vif_scale0`` (B,), plane SSE sums ``sse_y/u/v`` (B,),
     SSIM window sums ``ssim_y/u/v_sum`` (B,), ``sad_sum`` (B,), the scale-1
-    decimated ``dec_ref``/``dec_dis`` (B, ceil(H/2), ceil(W/2)), and
-    ``blur_carry`` (H, W). Window counts / plane sizes for the final means
-    are static — see ``metrics.full_reference``.
+    decimated ``dec_ref``/``dec_dis`` (B, ceil(H/2), ceil(W/2) when
+    cropped), and ``blur_carry`` (H, W). Window counts / plane sizes for
+    the final means are static — see ``metrics.full_reference``.
     """
     b, h, w = ry.shape
     h2, w2 = ru.shape[-2], ru.shape[-1]
-    # VMEM scales with strip x padded width: 32 rows fits 1080p-class widths
-    # in the 16 MB scoped budget, 4K needs 16-row strips (measured: 22.2 MB
-    # at strip 32 / 3840 lanes).
+    # VMEM scales with strip x width: 32 rows fits 1080p-class widths in
+    # the 16 MB scoped budget, 4K needs 16-row strips.
     strip = STRIP if w <= 2048 else STRIP // 2
-    halo = HALO
-    halo_pad = _round_up(halo, 4)
+    while strip > 8 and strip + 16 > h:
+        strip //= 2  # raw-input DMA window must fit the array rows
     n_strips = -(-h // strip)
     h_pad = n_strips * strip
-    wq = _round_up(w + 2 * halo, 128)
-    rows = strip + 2 * halo_pad
+    rows = strip + 16
     cstrip = strip // 2
     crows = cstrip + 8
     n_tiles_y = -(-(w // 4) // 128)
     n_tiles_c = -(-(w2 // 4) // 128)
     wc_buf = 512 * (n_tiles_c - 1) + 640
-    wq_b = _round_up(w, 128)  # blur/carry lane width
-    # Luma buffer width: the MXU lane-filter needs wq + 256; the SSIM lane
-    # pooling tiles reach 128 + 512 * n_tiles_y + 128 at small widths.
-    wbuf = max(wq + 256, 512 * n_tiles_y + 256, wq_b + 128)
+    wd = (w + 1) // 2
+    wq2 = 128 * (-(-wd // 128))  # dec output lane blocks
 
     taps_stats = tuple(float(v) for v in gaussian_kernel(17, 17 / 5.0))
     taps_dec = tuple(float(v) for v in gaussian_kernel(9, 9 / 5.0))
 
+    # DMA alignment fallback (never hit at 1080p/4K): lane width % 128,
+    # rows % 8, rows >= window.
+    pad_rows_y = max(_round_up(h, 8), rows) - h
+    pad_lanes_y = _round_up(w, 128) - w
+
     def prep_luma(x):
         x = x.astype(jnp.float32)
-        x = jnp.pad(x, ((0, 0), (0, 0), (halo, halo)), mode="reflect")
-        x = jnp.pad(x, ((0, 0), (halo_pad, halo_pad), (0, 0)), mode="reflect")
-        x = jnp.pad(
-            x, ((0, 0), (0, h_pad - h), (0, wq - w - 2 * halo)), mode="edge"
-        )
-        return jnp.pad(x, ((0, 0), (0, 0), (128, wbuf - wq - 128)))
+        if pad_rows_y or pad_lanes_y:
+            x = jnp.pad(x, ((0, 0), (0, pad_rows_y), (0, pad_lanes_y)),
+                        mode="edge")
+        return x
+
+    h_arr = h + pad_rows_y
+    w_arr = w + pad_lanes_y
 
     def prep_chroma(x):
         # Buffer col = orig col + 8 (shared lane-pool band matrix); rows
@@ -452,25 +476,27 @@ def quality_fused_pallas(
     dv_p = prep_chroma(dv)
     pblur_p = jnp.pad(
         prev_blur.astype(jnp.float32),
-        ((0, h_pad - h), (0, wq_b - w)),
+        ((0, h_pad - h), (0, w_arr - w)),
     )
 
     out_shape = jax.ShapeDtypeStruct((b, n_strips * 8, 128), jnp.float32)
     out_spec = pl.BlockSpec(
         (1, 8, 128), lambda s, i: (i, s, 0), memory_space=pltpu.VMEM
     )
-    dec_shape = jax.ShapeDtypeStruct((b, n_strips * strip // 2, wq), jnp.float32)
-    dec_spec = pl.BlockSpec(
-        (1, strip // 2, wq), lambda s, i: (i, s, 0), memory_space=pltpu.VMEM
+    dec_shape = jax.ShapeDtypeStruct(
+        (b, n_strips * strip // 2, wq2), jnp.float32
     )
-    blur_shape = jax.ShapeDtypeStruct((n_strips * strip, wq_b), jnp.float32)
+    dec_spec = pl.BlockSpec(
+        (1, strip // 2, wq2), lambda s, i: (i, s, 0), memory_space=pltpu.VMEM
+    )
+    blur_shape = jax.ShapeDtypeStruct((n_strips * strip, w_arr), jnp.float32)
     blur_spec = pl.BlockSpec(
-        (strip, wq_b), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+        (strip, w_arr), lambda s, i: (s, 0), memory_space=pltpu.VMEM
     )
 
     outs = pl.pallas_call(
         functools.partial(
-            _fused_q_kernel, h=h, w=w, wq=wq, wq_b=wq_b, h2=h2, w2=w2,
+            _fused_q_kernel, h=h, w=w, h_arr=h_arr, wq2=wq2, h2=h2, w2=w2,
             n_tiles_y=n_tiles_y, n_tiles_c=n_tiles_c,
             taps_stats=taps_stats, taps_dec=taps_dec, egl=egl, strip=strip,
             fast3=resolve_fast3(fast3),
@@ -480,11 +506,11 @@ def quality_fused_pallas(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=(out_spec, dec_spec, dec_spec, blur_spec),
         scratch_shapes=[
-            pltpu.VMEM((rows, wbuf), jnp.float32),          # rbuf
-            pltpu.VMEM((rows, wbuf), jnp.float32),          # dbuf
+            pltpu.VMEM((rows, w_arr), jnp.float32),         # rbuf
+            pltpu.VMEM((rows, w_arr), jnp.float32),         # dbuf
             pltpu.VMEM((4, crows, wc_buf), jnp.float32),    # chroma bufs
-            pltpu.VMEM((strip, wq_b), jnp.float32),         # pblur dma buf
-            pltpu.VMEM((strip, wq_b), jnp.float32),         # blur_prev carry
+            pltpu.VMEM((strip, w_arr), jnp.float32),        # pblur dma buf
+            pltpu.VMEM((strip, w_arr), jnp.float32),        # blur_prev carry
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((4,)),
@@ -499,8 +525,9 @@ def quality_fused_pallas(
     vif_den = jnp.sum(packed[:, :, LANE_VIF_DEN], axis=-1)
 
     hd = (h + 1) // 2
-    from rtvqa_tpu.vmaf.filters import even_lanes
-
+    if crop:
+        dec_r = dec_r[:, :hd, :wd]
+        dec_d = dec_d[:, :hd, :wd]
     return {
         "vif_scale0": vif_num / jnp.maximum(vif_den, _EPS),
         "sse_y": jnp.sum(packed[:, :, LANE_SSE_Y], axis=-1),
@@ -510,7 +537,7 @@ def quality_fused_pallas(
         "ssim_u_sum": jnp.sum(packed[:, :, LANE_SSIM_U], axis=-1),
         "ssim_v_sum": jnp.sum(packed[:, :, LANE_SSIM_V], axis=-1),
         "sad_sum": jnp.sum(packed[:, :, LANE_SAD], axis=-1),
-        "dec_ref": even_lanes(dec_r[:, :hd, :w]),
-        "dec_dis": even_lanes(dec_d[:, :hd, :w]),
+        "dec_ref": dec_r,
+        "dec_dis": dec_d,
         "blur_carry": blur_carry[:h, :w],
     }

@@ -13,23 +13,29 @@ row strips and writes only:
 HBM traffic per frame drops from ~30 full-res arrays to 2 reads + 2
 quarter-size writes.
 
-Dataflow per strip (round-2 MXU restructure): every scale (the kernel is
-generic over the 17/9/5/3-tap scale filters) runs BOTH separable filter
-passes on the MXU as banded matmuls — the LANE pass as lane-aligned 128-wide
-tiles against one shared (384, 128) band matrix (``_filt_lanes_mxu``), the
-SUBLANE pass as one block-diagonal banded matmul over the five moment inputs
-stacked along sublanes (which also restricts statistics to the strip's valid
-rows). The next scale's pre-decimation filter fuses its 2x row decimation
-into its own band matrix. The original VPU formulation (85 `pltpu.roll`s
-per pass) was roll-overhead-bound at ~1.2 ms/frame.
+Dataflow per strip: every scale (the kernel is generic over the 17/9/5/3-tap
+scale filters) runs BOTH separable filter passes on the MXU as banded
+matmuls — the LANE pass as lane-aligned tiles against per-block band
+matrices (one shared interior matrix; edge blocks encode the reflect
+border — ``_lane_band_raw``), the SUBLANE pass as per-segment banded
+matmuls over the five moment inputs stacked along sublanes (which also
+restricts statistics to the strip's valid rows). The next scale's
+pre-decimation filter fuses BOTH its 2x decimations into its bands
+(stride-2 lane bands + stride-2 row bands), so the kernel writes half-size
+dec outputs directly. The original VPU formulation (85 `pltpu.roll`s per
+pass) was roll-overhead-bound at ~1.2 ms/frame.
+
+Round 3e: the kernel reads the RAW (unpadded) arrays — border handling
+(`vmaf.filters` scipy-'mirror' reflection) lives entirely in the band
+matrices and 8-aligned clamped DMA windows. The previous host-side
+reflect-pad prep (a chain of XLA jnp.pad copies) measured ~30 ms per kernel
+per 128x1080p chunk — the single largest cost in the quality phase (see
+scripts/probe_adm_stages.py for the bisection methodology).
 
 Layout rules honored (see CLAUDE.md): no lane-splitting reshapes (lane
-decimation uses a 0/1 selection matmul on the MXU), lane-aligned slices and
-output blocks, DMA row slices padded to the sublane tiling.
-
-Border handling matches `vmaf.filters` (scipy-'mirror' reflection): the host
-wrapper reflect-pads by the filter half-width on both axes, so in-kernel
-windows never cross an image edge.
+decimation folds into 0/1-banded selection matmuls on the MXU),
+lane-aligned slices and output blocks, 8-aligned dynamic DMA row offsets
+(multiply-last so Mosaic can prove divisibility).
 """
 
 from __future__ import annotations
@@ -115,89 +121,138 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _filt_lanes_mxu(x2, taps, off, wq, fast3=FILTER_FAST3):
-    """Lane-axis FIR filter as tiled banded matmuls on the MXU.
+def _lane_plan_raw(w: int, w_arr: int, n_blocks: int, stride: int, halo: int):
+    """Static per-block (slice start, slice width, pure?) plan for the
+    raw-input lane filter. Output block b holds output lanes
+    [128b, 128(b+1)); output lane j contracts raw lanes
+    [stride*j - halo, stride*j + halo]. Interior blocks share ONE band
+    matrix (slice start stride*128b - 128); first/last blocks get bands
+    encoding the reflect border / slice clamp."""
+    sw = min(512 if stride == 2 else 384, w_arr)
+    plan = []
+    for b in range(n_blocks):
+        a = 0 if b == 0 else stride * 128 * b - 128
+        if a + sw > w_arr:
+            a = w_arr - sw
+        lo_q = stride * 128 * b - halo
+        hi_q = stride * (128 * b + 127) + halo
+        pure = (
+            b > 0 and a == stride * 128 * b - 128
+            and lo_q >= 0 and hi_q <= w - 1 and hi_q - a < sw
+        )
+        plan.append((a, sw, pure))
+    return plan
 
-    ``x2`` is the input with a 128-lane zero block prepended (data for padded
-    lane j lives at x2 lane 128 + j), width 128 + wq + 128. Output lane
-    j = 128*b + jj (j in [0, wq)) needs input lanes [j + off, j + off + k) =
-    x2 lanes [128*(b+1) + jj + off, ...), all inside the lane-aligned 2-block
-    slice x2[:, 128*(b+1) : 128*(b+1) + 256] (jj + off + k - 1 <= 127 + 2 *
-    halo <= 143 < 256). One (256, 128) band matrix shared by every block; 17
-    VPU rolls over the full array become wq/128 tiny MXU matmuls (~5x less
-    VPU work — the rolls dominated the kernel, measured 1.2 ms/frame at
-    1080p). Round 3: the slices were (384, 128) 3-block windows whose first
-    block was structurally unused — 2-block slices cut the lane-pass MXU
-    FLOPs by a third with identical arithmetic.
-    """
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
-    j_ids = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
-    dlane = l_ids - (j_ids + off)
+
+def _lane_band_raw(b: int, a: int, sw: int, stride: int, halo: int,
+                   w: int, pure: bool):
+    """Returns a builder tp -> (sw, 128) band matrix for raw-input lane
+    filtering: output lane j' + 128b contracts raw lanes
+    stride*(j' + 128b) + t - halo (t over the taps), reflected at both
+    image borders (np.pad 'reflect') and clipped for garbage output lanes
+    beyond the valid width."""
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, 128), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, 128), 1)
 
     def band(tp):
         m = None
         for t, wgt in enumerate(tp):
-            term = jnp.where(dlane == t, float(wgt), 0.0)
+            if pure:
+                hit = l_ids == stride * j_ids + 128 + t - halo
+            else:
+                q = stride * (j_ids + 128 * b) + t - halo
+                q = jnp.abs(q)
+                q = jnp.where(q >= w, jnp.clip(2 * (w - 1) - q, 0, w - 1), q)
+                l_t = q - a
+                hit = (l_ids == l_t) & (l_t >= 0) & (l_t < sw)
+            term = jnp.where(hit, float(wgt), 0.0)
             m = term if m is None else m + term
         return m
 
+    return band
+
+
+def _filt_lanes_raw(x, taps, w: int, n_blocks: int, stride: int = 1,
+                    fast3: bool = FILTER_FAST3, precision=None):
+    """Lane-axis FIR filter (optionally fused with 2x lane decimation via
+    ``stride``) over a RAW-layout array as tiled banded matmuls on the MXU.
+
+    ``x`` is (rows, w_arr) with valid data in lanes [0, w); the reflect
+    border lives in the band matrices (``_lane_band_raw``), so no
+    pre-padded layout is needed. Returns (rows, 128 * n_blocks); output
+    lanes beyond ceil(w / stride) are finite garbage for the caller to
+    mask. ``precision`` overrides FILTER_PRECISION (exact paths)."""
+    w_arr = x.shape[-1]
+    halo = len(taps) // 2
+    plan = _lane_plan_raw(w, w_arr, n_blocks, stride, halo)
+    prec = FILTER_PRECISION if precision is None else precision
+
     if fast3:
-        # Manual 3-pass bf16: x @ m ~= xh@mh + xh@ml + xl@mh as ONE
-        # tripled-contraction native-bf16 matmul (lo*lo dropped).
         th, tl = _split_taps(taps)
-        m3 = jnp.concatenate(
-            [band(th).astype(jnp.bfloat16), band(tl).astype(jnp.bfloat16),
-             band(th).astype(jnp.bfloat16)], axis=0
-        )
-        xh, xl = _split_bf16(x2)
+        shared = None
+        m3s = []
+        for b, (a, sw, pure) in enumerate(plan):
+            if pure and shared is not None:
+                m3s.append(shared)
+                continue
+            mk = _lane_band_raw(b, a, sw, stride, halo, w, pure)
+            m3 = jnp.concatenate(
+                [mk(th).astype(jnp.bfloat16), mk(tl).astype(jnp.bfloat16),
+                 mk(th).astype(jnp.bfloat16)], axis=0
+            )
+            if pure:
+                shared = m3
+            m3s.append(m3)
+        xh, xl = _split_bf16(x)
         blocks = []
-        for b in range(wq // 128):
-            lo_, hi_ = 128 * (b + 1), 128 * (b + 1) + 256
+        for (a, sw, pure), m3 in zip(plan, m3s):
             sl3 = jnp.concatenate(
-                [xh[:, lo_:hi_], xh[:, lo_:hi_], xl[:, lo_:hi_]], axis=1
+                [xh[:, a : a + sw], xh[:, a : a + sw], xl[:, a : a + sw]],
+                axis=1,
             )
-            blocks.append(
-                jnp.dot(sl3, m3, preferred_element_type=jnp.float32)
-            )
-        return jnp.concatenate(blocks, axis=1)
+            blocks.append(jnp.dot(sl3, m3, preferred_element_type=jnp.float32))
+        return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 1)
 
-    m = band(taps)
+    shared = None
+    bands = []
+    for b, (a, sw, pure) in enumerate(plan):
+        if pure:
+            if shared is None:
+                shared = _lane_band_raw(b, a, sw, stride, halo, w, True)(taps)
+            bands.append(shared)
+        else:
+            bands.append(_lane_band_raw(b, a, sw, stride, halo, w, False)(taps))
     blocks = []
-    for b in range(wq // 128):
-        sl = x2[:, 128 * (b + 1) : 128 * (b + 1) + 256]
+    for (a, sw, pure), m in zip(plan, bands):
         blocks.append(
-            jnp.dot(
-                sl, m,
-                preferred_element_type=jnp.float32,
-                precision=FILTER_PRECISION,
-            )
+            jnp.dot(x[:, a : a + sw], m,
+                    preferred_element_type=jnp.float32, precision=prec)
         )
-    return jnp.concatenate(blocks, axis=1)
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 1)
 
 
-def _filt_rows_mxu(lane_f, taps, n_seg, seg_out, seg_in, stride, off_row,
-                   fast3=FILTER_FAST3):
-    """Sublane-axis FIR (optionally fused with row decimation) as per-segment
-    banded matmuls on the MXU.
+def _filt_rows_raw(lane_f, taps, n_seg: int, seg_out: int, seg_in: int,
+                   stride: int, row0, st, h: int,
+                   fast3: bool = FILTER_FAST3, precision=None):
+    """Sublane-axis FIR (optionally fused with 2x row decimation) over
+    RAW-layout strips as per-segment banded matmuls on the MXU.
 
-    ``lane_f`` stacks ``n_seg`` equal segments of ``seg_in`` sublanes; output
-    row x of segment m is sum_t taps[t] * lane_f[m * seg_in + stride * x +
-    off_row + t]. Returns the (n_seg * seg_out, lanes) stacked outputs.
-
-    Round 3: this replaces a single block-diagonal (n_seg * seg_out,
-    n_seg * seg_in) banded matmul — the off-diagonal blocks were structural
-    zeros, so per-segment (seg_out, seg_in) dots cut the sublane-pass MXU
-    FLOPs n_seg-fold with identical arithmetic (the band is the same for
-    every segment).
-    """
+    ``lane_f`` stacks ``n_seg`` equal segments of ``seg_in`` DMA'd rows
+    whose first row is raw row ``st`` (traced). Output row x of a segment
+    is the filter at raw row ``row0 + stride*x`` (taps reflected at the
+    image borders 0 / h-1). Returns (n_seg * seg_out, lanes)."""
     o_ids = jax.lax.broadcasted_iota(jnp.int32, (seg_out, seg_in), 0)
     l_ids = jax.lax.broadcasted_iota(jnp.int32, (seg_out, seg_in), 1)
-    d = l_ids - (stride * o_ids + off_row)
+    halo = len(taps) // 2
+    prec = FILTER_PRECISION if precision is None else precision
 
     def mk_band(tp):
         band = None
         for t, wgt in enumerate(tp):
-            term = jnp.where(d == t, float(wgt), 0.0)
+            rr = row0 + stride * o_ids + t - halo
+            rr = jnp.abs(rr)
+            rr = jnp.where(rr >= h, 2 * (h - 1) - rr, rr)
+            term = jnp.where(l_ids == rr - st, float(wgt), 0.0)
             band = term if band is None else band + term
         return band
 
@@ -220,41 +275,46 @@ def _filt_rows_mxu(lane_f, taps, n_seg, seg_out, seg_in, stride, off_row,
             )
             for m in range(n_seg)
         ]
-        return jnp.concatenate(outs, axis=0)
+        return outs[0] if n_seg == 1 else jnp.concatenate(outs, axis=0)
 
     band = mk_band(taps)
     outs = [
         jnp.dot(
             band, lane_f[m * seg_in : (m + 1) * seg_in],
-            preferred_element_type=jnp.float32,
-            precision=FILTER_PRECISION,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         for m in range(n_seg)
     ]
-    return jnp.concatenate(outs, axis=0)
+    return outs[0] if n_seg == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _dma_row_start(row0, h_arr: int, rows: int):
+    """8-aligned raw-row DMA start covering rows [row0 - 8, row0 + rows - 8)
+    clamped into the array (multiply LAST so Mosaic can prove the sublane
+    divisibility of the dynamic slice offset)."""
+    return jnp.clip((row0 - 8) // 8, 0, (h_arr - rows) // 8) * 8
 
 
 def _vif_scale_kernel(
     ref_hbm, dis_hbm, *refs,
-    strip: int, h: int, w: int, wq: int,
-    taps_stats, taps_dec, halo: int, egl=None, fast3: bool = False,
+    strip: int, h: int, w: int, h_arr: int, wq2,
+    taps_stats, taps_dec, egl=None, fast3: bool = False,
 ):
     """Grid (B, n_strips). Strip s covers output rows [s*strip, (s+1)*strip).
 
     Generic over the VIF scale: ``taps_stats`` is the scale's Gaussian
     moment-filter (17/9/5/3 taps for scales 0-3), ``taps_dec`` the NEXT
     scale's pre-decimation filter (or None at the last scale, which then
-    emits no decimated outputs), ``halo`` = len(taps_stats)//2.
+    emits no decimated outputs).
 
-    Inputs are reflect-padded on the host: lanes by ``halo``, rows by
-    ``halo_pad = round_up(halo, 4)`` (Mosaic requires DMA row slices aligned
-    to the sublane tiling of 8; strip is a multiple of 8, so the row halo is
-    rounded so ``rows = strip + 2*halo_pad`` stays aligned — the extra
-    ``halo_pad - halo`` rows are reflect fill the band matrices simply skip).
-    Padded row r corresponds to original row r - halo_pad; the strip needs
-    padded rows [s*strip, s*strip + rows). When H is not a multiple of the
-    strip size (e.g. 1080 = 67*16 + 8), the host edge-pads the bottom and the
-    last strip masks its num/den sums to the ``h - s*strip`` valid rows.
+    Round 3e: reads the RAW (unpadded) luma — the reflect borders live in
+    the band matrices (``_lane_band_raw`` / ``_filt_rows_raw``) and the DMA
+    window is the 8-aligned clamp of [s*strip - 8, s*strip + strip + 8)
+    (the XLA pad prep measured ~30 ms/kernel at 128x1080p, the largest
+    single cost — see scripts/probe_adm_stages.py). The 2x LANE decimation
+    of the next-scale inputs now also fuses into the dec lane band
+    (stride=2), so the kernel writes half-width dec outputs directly and
+    the external ``even_lanes`` matmul + crop copies are gone.
     """
     if taps_dec is not None:
         out_nd_ref, dec_ref_out, dec_dis_out, rbuf, dbuf, sem_r, sem_d = refs
@@ -262,15 +322,15 @@ def _vif_scale_kernel(
         out_nd_ref, rbuf, dbuf, sem_r, sem_d = refs
     i = pl.program_id(0)
     s = pl.program_id(1)
-    halo_pad = _round_up(halo, 4)
-    row_off = halo_pad - halo  # first row of an output-row window
-    rows = strip + 2 * halo_pad
+    rows = strip + 16
+    row0 = s * strip
+    st = _dma_row_start(row0, h_arr, rows)
 
     dma_r = pltpu.make_async_copy(
-        ref_hbm.at[i, pl.ds(s * strip, rows), :], rbuf, sem_r
+        ref_hbm.at[i, pl.ds(st, rows), :], rbuf, sem_r
     )
     dma_d = pltpu.make_async_copy(
-        dis_hbm.at[i, pl.ds(s * strip, rows), :], dbuf, sem_d
+        dis_hbm.at[i, pl.ds(st, rows), :], dbuf, sem_d
     )
     dma_r.start()
     dma_d.start()
@@ -279,25 +339,20 @@ def _vif_scale_kernel(
 
     r = rbuf[...]
     d = dbuf[...]
+    w_arr = rbuf.shape[-1]
 
     # --- separable moment filters ------------------------------------------
     # Lane pass: after it, lane j holds the filtered value centered at
-    # original column j (window [j-halo, j+halo] in padded coords
-    # [j, j+2*halo]). The five moment inputs are STACKED along sublanes so
-    # the k `pltpu.roll`s run once over a (5*rows, wq) array instead of 5k
-    # rolls over five (rows, wq) arrays (VPU work is the same per element,
-    # but per-op roll overhead dominates at this size — measured ~35% kernel
-    # time). Sublane pass: ONE block-diagonal banded matmul on the MXU
-    # replaces the 5k sublane rolls AND restricts output to the strip's
-    # valid rows (the roll version computed statistics on all `rows`
-    # sublanes and masked half of them away).
+    # raw column j. The five moment inputs are STACKED along sublanes so
+    # the banded matmuls run once over a (5*rows, w_arr) array. Sublane
+    # pass: per-segment banded matmuls on the MXU that also restrict output
+    # to the strip's valid rows.
     stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
-    lane_f = _filt_lanes_mxu(stacked, taps_stats, 0, wq, fast3)
+    lane_f = _filt_lanes_raw(stacked, taps_stats, w, w_arr // 128, 1, fast3)
 
-    # Output row x of moment m takes the k-tap window starting at row
-    # x + row_off of its own stacked segment (row_off skips the
-    # sublane-alignment fill rows).
-    mom = _filt_rows_mxu(lane_f, taps_stats, 5, strip, rows, 1, row_off, fast3)
+    mom = _filt_rows_raw(
+        lane_f, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
+    )
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -331,9 +386,9 @@ def _vif_scale_kernel(
     num = jnp.log2(1.0 + g * g * sigma1 / (sv + _SIGMA_NSQ))
     den = jnp.log2(1.0 + sigma1 / _SIGMA_NSQ)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, wq), 1)
-    strip_valid = jnp.minimum(strip, h - s * strip)  # ragged last strip
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 1)
+    strip_valid = jnp.minimum(strip, h - row0)  # ragged last strip
     valid = (row_ids < strip_valid) & (col_ids < w)
     num_sum = jnp.sum(jnp.where(valid, num, 0.0))
     den_sum = jnp.sum(jnp.where(valid, den, 0.0))
@@ -341,48 +396,44 @@ def _vif_scale_kernel(
     packed = jnp.where(lane == 0, num_sum, jnp.where(lane == 1, den_sum, 0.0))
     out_nd_ref[0, s, :] = packed[0]
 
-    # --- next-scale filter + 2x decimation ---------------------------------
+    # --- next-scale filter + 2x decimation (both axes fused) ----------------
     if taps_dec is None:
         return
-    # The dec window center must align with the padding: original column j
-    # sits at padded lane j + halo (row r at padded row r + halo_pad), so
-    # shift the tap start accordingly per axis.
-    off = halo - len(taps_dec) // 2
-    off_row = halo_pad - len(taps_dec) // 2
-
-    # Lane pass over both streams stacked, then ONE banded matmul that fuses
-    # the sublane filter WITH the 2x row decimation: decimated output row rr
-    # of stream m reads its stacked segment's padded rows
-    # [2*rr + off, 2*rr + off + k). LANE decimation happens OUTSIDE the
-    # kernel (filters.even_lanes, one MXU matmul on the half-height array):
-    # an in-kernel (wq, wd) lane-selection matrix costs 8 MB of VMEM at
-    # 1080p and blew the 16 MB scoped budget.
+    # Lane pass fuses the 9/5/3-tap filter WITH the 2x lane decimation
+    # (stride=2 bands); the sublane pass fuses the row filter with the 2x
+    # row decimation: decimated output row rr reads raw rows
+    # [2*(s*half + rr) - halo_dec, ...] of the same DMA'd window.
     rd_stack = jnp.concatenate([r, d], axis=0)
-    lane9 = _filt_lanes_mxu(rd_stack, taps_dec, off, wq, fast3)
+    lane9 = _filt_lanes_raw(rd_stack, taps_dec, w, wq2 // 128, 2, fast3)
 
     half = strip // 2
-    dec = _filt_rows_mxu(lane9, taps_dec, 2, half, rows, 2, off_row, fast3)
+    dec = _filt_rows_raw(lane9, taps_dec, 2, half, rows, 2, row0, st, h, fast3)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "egl", "interpret", "fast3")
+    jax.jit,
+    static_argnames=("scale", "egl", "interpret", "fast3", "h", "w", "crop"),
 )
 def vif_scale_pallas(
     ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int, egl=None,
     interpret: bool = False, fast3=None,
+    h: int | None = None, w: int | None = None, crop: bool = True,
 ):
     """Fused VIF at one scale over (B, H, W) float/uint8 luma.
 
-    For scales 0-2 returns (vif_scale (B,), dec_ref (B, H/2, W/2),
-    dec_dis (B, H/2, W/2)) — the per-frame feature plus the NEXT scale's
-    inputs (filtered with the next scale's Gaussian and decimated, identical
-    to `vmaf.filters` semantics). For scale 3 returns (vif_scale3, None,
-    None).
+    For scales 0-2 returns (vif_scale (B,), dec_ref (B, ceil(H/2),
+    ceil(W/2)), dec_dis) — the per-frame feature plus the NEXT scale's
+    inputs (filtered with the next scale's Gaussian and decimated on both
+    axes, identical to `vmaf.filters` semantics). For scale 3 returns
+    (vif_scale3, None, None).
 
-    H and W arbitrary (H >= len(taps) for the reflect halo); a ragged final
-    row strip is masked in-kernel and its decimated tail sliced off.
+    The kernel reads the RAW arrays (no XLA pad prep — round 3e, see
+    ``_vif_scale_kernel``). ``h``/``w`` give the VALID dims when the inputs
+    carry block padding (the chained dec outputs do); with ``crop=False``
+    the dec outputs keep their block padding so the next scale consumes
+    them without crop copies.
 
     ``fast3`` (None = auto, see ``resolve_fast3``) selects the manual 3-pass
     bf16 filter matmuls — applied at scales <= 1 ONLY: scale 0 holds >90% of
@@ -392,15 +443,13 @@ def vif_scale_pallas(
     running them exact costs ~nothing and caps the end-to-end error at the
     scale-1 level (~5e-4).
     """
-    b, h, w = ref_y.shape
+    b, h_in, w_in = ref_y.shape
+    h = h_in if h is None else h
+    w = w_in if w is None else w
     f3 = resolve_fast3(fast3) and scale <= 1
-    # Grid-cell count is the kernel's dominant cost (~15 us of Mosaic grid +
-    # DMA-issue overhead per cell; the filter math itself runs on the MXU
-    # and is nearly free) — use the largest strip VMEM affords. The VMEM
-    # footprint scales with strip x padded-width, so NARROW frames (VIF
-    # scales 1-3: 960/480/240 wide at 1080p) afford proportionally taller
-    # strips: 540 rows drop from 17 cells to 9, 270 from 9 to 3, 135 from
-    # 5 to 2 (round 3, VERDICT r2 next #3).
+    # Grid-cell count matters little (ADM strip A/Bs were neutral); strips
+    # are sized so the VMEM footprint (scales with strip x width) fits the
+    # 16 MB scoped budget at each scale's width.
     if w >= 1536:
         strip = 32
     elif w >= 640:
@@ -409,54 +458,52 @@ def vif_scale_pallas(
         strip = 128
     while strip > 16 and strip - h >= 16:
         strip //= 2  # don't overshoot short frames (strip stays mult of 8)
+    while strip > 8 and strip + 16 > h_in:
+        strip //= 2  # raw-input DMA window must fit the array rows
     n_stats = 2 ** (4 - scale) + 1
-    halo = n_stats // 2
     taps_stats = tuple(float(v) for v in gaussian_kernel(n_stats, n_stats / 5.0))
     if scale < 3:
         n_dec = 2 ** (3 - scale) + 1
         taps_dec = tuple(float(v) for v in gaussian_kernel(n_dec, n_dec / 5.0))
     else:
         taps_dec = None
-    ref = ref_y.astype(jnp.float32)
-    dis = dis_y.astype(jnp.float32)
 
-    n_strips = -(-h // strip)  # ceil: last strip ragged when h % 16 != 0
-    h_pad = n_strips * strip
-    halo_pad = _round_up(halo, 4)  # sublane-aligned DMA row slices
-    wq = _round_up(w + 2 * halo, 128)
-    pad_rows = ((0, 0), (halo_pad, halo_pad), (0, 0))
-    pad_cols_reflect = ((0, 0), (0, 0), (halo, halo))
+    rows = strip + 16
+    n_strips = -(-h // strip)  # ceil: last strip ragged when h % strip != 0
+    hd = (h + 1) // 2  # decimate2 keeps even indices
+    wd = (w + 1) // 2
+    wq2 = 128 * (-(-wd // 128))
+
+    # DMA alignment fallback (never hit at 1080p/4K or by chained outputs):
+    # lane width % 128, rows % 8, rows >= window.
+    pad_rows = max(_round_up(h_in, 8), rows) - h_in
+    pad_lanes = _round_up(w_in, 128) - w_in
 
     def prep(x):
-        x = jnp.pad(x, pad_cols_reflect, mode="reflect")
-        x = jnp.pad(x, pad_rows, mode="reflect")
-        # Bottom edge-fill for the ragged strip (consumed only by masked-out
-        # rows) + lane round-up.
-        x = jnp.pad(
-            x, ((0, 0), (0, h_pad - h), (0, wq - w - 2 * halo)), mode="edge"
-        )
-        # One extra 128-lane block on each side for the MXU lane filter's
-        # lane-aligned 3-block slices (see _filt_lanes_mxu).
-        return jnp.pad(x, ((0, 0), (0, 0), (128, 128)))
+        x = x.astype(jnp.float32)
+        if pad_rows or pad_lanes:
+            x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, pad_lanes)),
+                        mode="edge")
+        return x
 
-    ref_p = prep(ref)
-    dis_p = prep(dis)
+    h_arr = h_in + pad_rows
+    w_arr = w_in + pad_lanes
 
-    rows = strip + 2 * halo_pad
     nd_shape = jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32)
     nd_spec = pl.BlockSpec(
         (1, n_strips, 128), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    dec_shape = jax.ShapeDtypeStruct((b, n_strips * strip // 2, wq), jnp.float32)
+    dec_shape = jax.ShapeDtypeStruct(
+        (b, n_strips * strip // 2, wq2), jnp.float32
+    )
     dec_spec = pl.BlockSpec(
-        (1, strip // 2, wq), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM
+        (1, strip // 2, wq2), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM
     )
 
     outs = pl.pallas_call(
         functools.partial(
-            _vif_scale_kernel, strip=strip, h=h, w=w, wq=wq,
-            taps_stats=taps_stats, taps_dec=taps_dec, halo=halo, egl=egl,
-            fast3=f3,
+            _vif_scale_kernel, strip=strip, h=h, w=w, h_arr=h_arr, wq2=wq2,
+            taps_stats=taps_stats, taps_dec=taps_dec, egl=egl, fast3=f3,
         ),
         out_shape=(nd_shape, dec_shape, dec_shape) if taps_dec else (nd_shape,),
         grid=(b, n_strips),
@@ -466,13 +513,13 @@ def vif_scale_pallas(
         ],
         out_specs=(nd_spec, dec_spec, dec_spec) if taps_dec else (nd_spec,),
         scratch_shapes=[
-            pltpu.VMEM((rows, wq + 256), jnp.float32),
-            pltpu.VMEM((rows, wq + 256), jnp.float32),
+            pltpu.VMEM((rows, w_arr), jnp.float32),
+            pltpu.VMEM((rows, w_arr), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(ref_p, dis_p)
+    )(prep(ref_y), prep(dis_y))
 
     out_nd = outs[0]
     num = jnp.sum(out_nd[..., 0], axis=-1)
@@ -480,14 +527,9 @@ def vif_scale_pallas(
     vif = num / jnp.maximum(den, _EPS)
     if taps_dec is None:
         return vif, None, None
-    # Kernel outputs are row-decimated, full padded width; finish with the
-    # lane decimation (one MXU selection matmul on the half-height array).
-    hd = (h + 1) // 2  # decimate2 keeps even indices
-    from rtvqa_tpu.vmaf.filters import even_lanes
-
-    dr = even_lanes(outs[1][:, :hd, :w])
-    dd = even_lanes(outs[2][:, :hd, :w])
-    return vif, dr, dd
+    if crop:
+        return vif, outs[1][:, :hd, :wd], outs[2][:, :hd, :wd]
+    return vif, outs[1], outs[2]
 
 
 def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = False):
@@ -507,9 +549,12 @@ def vif_features_pallas(
     egl = None if enhn_gain_limit is None else float(enhn_gain_limit)
     out = {}
     ref, dis = ref_y, dis_y
+    h, w = int(ref_y.shape[-2]), int(ref_y.shape[-1])
     for scale in range(4):
         v, ref, dis = vif_scale_pallas(
-            ref, dis, scale, egl=egl, interpret=interpret, fast3=fast3
+            ref, dis, scale, egl=egl, interpret=interpret, fast3=fast3,
+            h=h, w=w, crop=False,
         )
+        h, w = (h + 1) // 2, (w + 1) // 2
         out[f"vif_scale{scale}"] = v
     return out

@@ -159,7 +159,8 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
         return jnp.concatenate([pa, pb], axis=0), blur
 
     fq = quality_fused_pallas(
-        ry, ru, rv, dy, du, dv, prev_blur, egl=vif_egl, fast3=fast3
+        ry, ru, rv, dy, du, dv, prev_blur, egl=vif_egl, fast3=fast3,
+        crop=False,
     )
     h, w = ry.shape[-2], ry.shape[-1]
     h2, w2 = ru.shape[-2], ru.shape[-1]
@@ -187,9 +188,15 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     out["motion_sad"] = sad.at[0].set(jnp.where(has_prev, sad[0], 0.0))
 
     out["vif_scale0"] = fq["vif_scale0"]
+    # Chain the VIF scales on the kernels' block-padded dec outputs (valid
+    # dims as statics) — no crop copies between scales (round 3e).
     ref, dis = fq["dec_ref"], fq["dec_dis"]
+    hs, ws = (h + 1) // 2, (w + 1) // 2
     for scale in (1, 2, 3):
-        v, ref, dis = vif_scale_pallas(ref, dis, scale, egl=vif_egl, fast3=fast3)
+        v, ref, dis = vif_scale_pallas(
+            ref, dis, scale, egl=vif_egl, fast3=fast3, h=hs, w=ws, crop=False
+        )
+        hs, ws = (hs + 1) // 2, (ws + 1) // 2
         out[f"vif_scale{scale}"] = v
 
     out.update(

@@ -45,7 +45,9 @@ def main():
     np.asarray(dy[0, 0, :8])
     note("inputs on-device")
 
-    from rtvqa_tpu.kernels.adm_pallas import HALO_IN, adm_scale_pallas
+    from rtvqa_tpu.kernels.adm_pallas import adm_scale_pallas
+
+    HALO_IN = 4  # the round-3a..3d kernels' input halo (prep now removed)
 
     def make_run(stages):
         def run(tag):

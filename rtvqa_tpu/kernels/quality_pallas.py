@@ -172,7 +172,7 @@ def _fused_q_kernel(
     sem_r, sem_d, sem_c, sem_p,
     *, h: int, w: int, h_arr: int, wq2: int, h2: int, w2: int,
     n_tiles_y: int, n_tiles_c: int, taps_stats, taps_dec, egl, strip: int,
-    fast3: bool = False,
+    fast3: bool = False, stages: int = 6,
 ):
     """Grid (n_strips, B) — strip-major, frame-minor (the blur_prev scratch
     carries frame i-1's blurred strip into cell (s, i)).
@@ -232,18 +232,42 @@ def _fused_q_kernel(
     w_arr = rbuf.shape[-1]
     strip_valid = jnp.minimum(strip, h - row0)
 
+    # --- stage-bisection early exits (profiling; `stages` is static) --------
+    # Constant output writes per stage so successive deltas isolate compute.
+    # 1=DMA, 2=+progA luma (SSE/blur/SAD), 3=+SSIM luma, 4=+chroma,
+    # 5=+VIF0 stats, 6=full (+dec).
+    half_s = strip // 2
+    _lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def _early_exit(scalar):
+        # Every started DMA must be awaited before the cell ends — an
+        # un-awaited async copy corrupts the semaphore state on hardware
+        # (measured: FAILED_PRECONDITION device error).
+        for dma in dmas_c:
+            dma.wait()
+        out_ref[0, :, :] = jnp.broadcast_to(
+            jnp.where(_lane1 == 0, scalar, 0.0), (8, 128)
+        )
+        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        blur_out[...] = r[0:strip, :]
+
+    if stages <= 1:
+        _early_exit(r[0, 0] + d[0, 0])
+        return
+
     # --- program A, luma: SSE + blur/SAD + SSIM block sums ------------------
     sse_y = _masked_sq_sum(r - d, strip_valid, ro, 0, w)
 
     # FILTER_5 motion blur as banded matmuls (reflect borders in-band);
     # always HIGHEST — never fast3 — to keep the motion feature exact.
     taps_blur = tuple(float(v) for v in FILTER_5)
-    blur_lane = _filt_lanes_raw(
-        r, taps_blur, w, w_arr // 128, 1, False,
+    blur_rows = _filt_rows_raw(
+        r, taps_blur, 1, strip, rows, 1, row0, st, h, False,
         precision=jax.lax.Precision.HIGHEST,
     )
-    blur_cur = _filt_rows_raw(
-        blur_lane, taps_blur, 1, strip, rows, 1, row0, st, h, False,
+    blur_cur = _filt_lanes_raw(
+        blur_rows, taps_blur, w, w_arr // 128, 1, False,
         precision=jax.lax.Precision.HIGHEST,
     )
     rowsb = jax.lax.broadcasted_iota(jnp.int32, blur_cur.shape, 0)
@@ -254,6 +278,16 @@ def _fused_q_kernel(
     )
     blur_prev[...] = blur_cur
     blur_out[...] = blur_cur
+
+    if stages <= 2:
+        for dma in dmas_c:
+            dma.wait()
+        out_ref[0, :, :] = jnp.broadcast_to(
+            jnp.where(_lane1 == 0, sse_y + sad_sum, 0.0), (8, 128)
+        )
+        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        return
 
     # Stacked moments (shared with the VIF filters below).
     stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
@@ -293,6 +327,16 @@ def _fused_q_kernel(
     )
 
     # --- program A, chroma: SSE + SSIM for U and V --------------------------
+    if stages <= 3:
+        for dma in dmas_c:
+            dma.wait()
+        out_ref[0, :, :] = jnp.broadcast_to(
+            jnp.where(_lane1 == 0, ssim_y_sum, 0.0), (8, 128)
+        )
+        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        return
+
     for dma in dmas_c:
         dma.wait()
     cu_r, cu_d, cv_r, cv_d = (cbufs[0], cbufs[1], cbufs[2], cbufs[3])
@@ -334,11 +378,21 @@ def _fused_q_kernel(
         win_c[32:64], 8, nbr_c, nbr_c * s, h2 // 4 - 1, w2 // 4 - 1
     )
 
-    # --- VIF scale 0 (kernels.vif_pallas dataflow, verbatim) ----------------
-    lane_f = _filt_lanes_raw(stacked, taps_stats, w, w_arr // 128, 1, fast3)
-    mom = _filt_rows_raw(
-        lane_f, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
+    if stages <= 4:
+        out_ref[0, :, :] = jnp.broadcast_to(
+            jnp.where(_lane1 == 0, ssim_u_sum + ssim_v_sum + sse_u + sse_v,
+                      0.0), (8, 128)
+        )
+        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        return
+
+    # --- VIF scale 0 (kernels.vif_pallas dataflow, verbatim; row pass
+    # FIRST — it shrinks the sublane extent before the lane pass) ------------
+    mom_rows = _filt_rows_raw(
+        stacked, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
     )
+    mom = _filt_lanes_raw(mom_rows, taps_stats, w, w_arr // 128, 1, fast3)
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -373,11 +427,21 @@ def _fused_q_kernel(
     num_sum = jnp.sum(jnp.where(vvalid, num, 0.0))
     den_sum = jnp.sum(jnp.where(vvalid, den, 0.0))
 
+    if stages <= 5:
+        out_ref[0, :, :] = jnp.broadcast_to(
+            jnp.where(_lane1 == 0, num_sum + den_sum, 0.0), (8, 128)
+        )
+        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        return
+
     # --- scale-1 pre-decimation filter + 2x decimation (both axes fused) ----
     rd_stack = jnp.concatenate([r, d], axis=0)
-    lane9 = _filt_lanes_raw(rd_stack, taps_dec, w, wq2 // 128, 2, fast3)
     half = strip // 2
-    dec = _filt_rows_raw(lane9, taps_dec, 2, half, rows, 2, row0, st, h, fast3)
+    dec_rows = _filt_rows_raw(
+        rd_stack, taps_dec, 2, half, rows, 2, row0, st, h, fast3
+    )
+    dec = _filt_lanes_raw(dec_rows, taps_dec, w, wq2 // 128, 2, fast3)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
@@ -397,11 +461,11 @@ def _fused_q_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("egl", "interpret", "fast3", "crop")
+    jax.jit, static_argnames=("egl", "interpret", "fast3", "crop", "stages")
 )
 def quality_fused_pallas(
     ry, ru, rv, dy, du, dv, prev_blur, egl=None, interpret: bool = False,
-    fast3=None, crop: bool = True,
+    fast3=None, crop: bool = True, stages: int = 6,
 ):
     """Fused VIF-scale-0 + program-A over YUV420 batches.
 
@@ -499,7 +563,7 @@ def quality_fused_pallas(
             _fused_q_kernel, h=h, w=w, h_arr=h_arr, wq2=wq2, h2=h2, w2=w2,
             n_tiles_y=n_tiles_y, n_tiles_c=n_tiles_c,
             taps_stats=taps_stats, taps_dec=taps_dec, egl=egl, strip=strip,
-            fast3=resolve_fast3(fast3),
+            fast3=resolve_fast3(fast3), stages=stages,
         ),
         out_shape=(out_shape, dec_shape, dec_shape, blur_shape),
         grid=(n_strips, b),

@@ -188,29 +188,37 @@ def _filt_lanes_raw(x, taps, w: int, n_blocks: int, stride: int = 1,
     prec = FILTER_PRECISION if precision is None else precision
 
     if fast3:
+        # Manual 3-pass bf16: y = xh@mh + xh@ml + xl@mh. The xh terms run as
+        # ONE matmul against the lane-concatenated [mh | ml] band (the
+        # concat is on the small CONSTANT matrix); xl@mh is a second matmul.
+        # Round 3e: the previous form concatenated the OPERANDS
+        # ([xh|xh|xl] per block) into a tripled contraction — those per-
+        # block VMEM operand copies dominated the dec stage of the fused
+        # quality kernel (stage bisection: +45.6 ms vs ~7 ms of MXU FLOPs).
         th, tl = _split_taps(taps)
         shared = None
-        m3s = []
+        mats = []
         for b, (a, sw, pure) in enumerate(plan):
             if pure and shared is not None:
-                m3s.append(shared)
+                mats.append(shared)
                 continue
             mk = _lane_band_raw(b, a, sw, stride, halo, w, pure)
-            m3 = jnp.concatenate(
-                [mk(th).astype(jnp.bfloat16), mk(tl).astype(jnp.bfloat16),
-                 mk(th).astype(jnp.bfloat16)], axis=0
-            )
-            if pure:
-                shared = m3
-            m3s.append(m3)
-        xh, xl = _split_bf16(x)
-        blocks = []
-        for (a, sw, pure), m3 in zip(plan, m3s):
-            sl3 = jnp.concatenate(
-                [xh[:, a : a + sw], xh[:, a : a + sw], xl[:, a : a + sw]],
+            m_hl = jnp.concatenate(
+                [mk(th).astype(jnp.bfloat16), mk(tl).astype(jnp.bfloat16)],
                 axis=1,
             )
-            blocks.append(jnp.dot(sl3, m3, preferred_element_type=jnp.float32))
+            m_h = mk(th).astype(jnp.bfloat16)
+            if pure:
+                shared = (m_hl, m_h)
+            mats.append((m_hl, m_h))
+        xh, xl = _split_bf16(x)
+        blocks = []
+        for (a, sw, pure), (m_hl, m_h) in zip(plan, mats):
+            zh = jnp.dot(xh[:, a : a + sw], m_hl,
+                         preferred_element_type=jnp.float32)
+            zl = jnp.dot(xl[:, a : a + sw], m_h,
+                         preferred_element_type=jnp.float32)
+            blocks.append(zh[:, :128] + zh[:, 128:] + zl)
         return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 1)
 
     shared = None
@@ -257,24 +265,23 @@ def _filt_rows_raw(lane_f, taps, n_seg: int, seg_out: int, seg_in: int,
         return band
 
     if fast3:
+        # Same operand-concat-free 3-pass as _filt_lanes_raw: the hi/lo tap
+        # bands stack along OUTPUT rows (a constant), the operands are
+        # plain slices.
         th, tl = _split_taps(taps)
-        band3 = jnp.concatenate(
-            [mk_band(th).astype(jnp.bfloat16), mk_band(tl).astype(jnp.bfloat16),
-             mk_band(th).astype(jnp.bfloat16)], axis=1
+        band2 = jnp.concatenate(
+            [mk_band(th).astype(jnp.bfloat16),
+             mk_band(tl).astype(jnp.bfloat16)], axis=0
         )
+        band_h = mk_band(th).astype(jnp.bfloat16)
         lfh, lfl = _split_bf16(lane_f)
-        outs = [
-            jnp.dot(
-                band3,
-                jnp.concatenate(
-                    [lfh[m * seg_in : (m + 1) * seg_in],
-                     lfh[m * seg_in : (m + 1) * seg_in],
-                     lfl[m * seg_in : (m + 1) * seg_in]], axis=0
-                ),
-                preferred_element_type=jnp.float32,
-            )
-            for m in range(n_seg)
-        ]
+        outs = []
+        for m in range(n_seg):
+            z = jnp.dot(band2, lfh[m * seg_in : (m + 1) * seg_in],
+                        preferred_element_type=jnp.float32)
+            zl = jnp.dot(band_h, lfl[m * seg_in : (m + 1) * seg_in],
+                         preferred_element_type=jnp.float32)
+            outs.append(z[:seg_out] + z[seg_out:] + zl)
         return outs[0] if n_seg == 1 else jnp.concatenate(outs, axis=0)
 
     band = mk_band(taps)
@@ -348,11 +355,14 @@ def _vif_scale_kernel(
     # pass: per-segment banded matmuls on the MXU that also restrict output
     # to the strip's valid rows.
     stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
-    lane_f = _filt_lanes_raw(stacked, taps_stats, w, w_arr // 128, 1, fast3)
-
-    mom = _filt_rows_raw(
-        lane_f, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
+    # ROW pass FIRST (round 3e): it shrinks the sublane extent from the
+    # DMA'd window (rows) to the strip before the lane pass runs, cutting
+    # the lane pass's operand splits/copies and MXU rows by rows/strip
+    # (1.5x for the moments, 3x for the decimation below).
+    mom_rows = _filt_rows_raw(
+        stacked, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
     )
+    mom = _filt_lanes_raw(mom_rows, taps_stats, w, w_arr // 128, 1, fast3)
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -404,10 +414,11 @@ def _vif_scale_kernel(
     # row decimation: decimated output row rr reads raw rows
     # [2*(s*half + rr) - halo_dec, ...] of the same DMA'd window.
     rd_stack = jnp.concatenate([r, d], axis=0)
-    lane9 = _filt_lanes_raw(rd_stack, taps_dec, w, wq2 // 128, 2, fast3)
-
     half = strip // 2
-    dec = _filt_rows_raw(lane9, taps_dec, 2, half, rows, 2, row0, st, h, fast3)
+    dec_rows = _filt_rows_raw(
+        rd_stack, taps_dec, 2, half, rows, 2, row0, st, h, fast3
+    )
+    dec = _filt_lanes_raw(dec_rows, taps_dec, w, wq2 // 128, 2, fast3)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 

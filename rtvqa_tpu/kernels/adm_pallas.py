@@ -149,6 +149,26 @@ def _lane_filt_decim(x, bands, plan):
     return lo, hi
 
 
+def build_adm_col_bands(w: int, w_arr: int, wq2: int):
+    """Pre-build the column-filter band matrices in XLA (round 3f — see
+    ``vif_pallas.build_lane_bands`` for the rationale: Mosaic re-executes
+    in-kernel band construction every grid cell). Returns
+    ((n_distinct, sw, 256) f32 stack, static (a_j, sw, mat_idx) plan)."""
+    plan = _lane_filt_plan(w, w_arr, wq2)
+    mats = []
+    plan2 = []
+    shared_idx = None
+    for j, (a_j, sw, pure) in enumerate(plan):
+        if pure and shared_idx is not None:
+            plan2.append((a_j, sw, shared_idx))
+            continue
+        if pure:
+            shared_idx = len(mats)
+        plan2.append((a_j, sw, len(mats)))
+        mats.append(_col_band(j, w, a_j, sw, pure))
+    return jnp.stack(mats), tuple(plan2)
+
+
 def _dma_row_start(g0, h_arr: int, rows_in: int):
     """8-aligned raw-row DMA start whose ``rows_in`` window covers every
     band tap of the strip at subband row offset ``g0`` (taps live in raw
@@ -209,11 +229,10 @@ def _adm0_dma_only_kernel(
 
 
 def _adm0_kernel(
-    ref_hbm, dis_hbm, sums_ref, aref_out, adis_out,
-    rbuf, dbuf, sem_r, sem_d,
-    *, h: int, w: int, h_arr: int, h2: int, w2: int, wq2: int,
+    *refs,
+    h: int, w: int, h_arr: int, h2: int, w2: int, wq2: int,
     top: int, left: int, fh: float, fd: float, egl, strip: int,
-    stages: int = 6,
+    stages: int = 6, col_plan=None,
 ):
     """Grid (B, n_strips). Strip s covers subband rows [s*strip, (s+1)*strip).
 
@@ -222,7 +241,17 @@ def _adm0_kernel(
     them to subband rows [s*strip - 1, s*strip + strip + 1) (one spread-halo
     row each side), encoding the reflect border and the subband-grid edge
     replication directly against raw row indices.
+
+    Round 3f: with ``col_plan``, the column-filter band matrices arrive
+    pre-built as a VMEM operand (``build_adm_col_bands``) instead of being
+    rebuilt on the VPU every grid cell.
     """
+    if col_plan is not None:
+        (ref_hbm, dis_hbm, colb, sums_ref, aref_out, adis_out,
+         rbuf, dbuf, sem_r, sem_d) = refs
+    else:
+        (ref_hbm, dis_hbm, sums_ref, aref_out, adis_out,
+         rbuf, dbuf, sem_r, sem_d) = refs
     i = pl.program_id(0)
     s = pl.program_id(1)
     n_i = pl.num_programs(0)
@@ -331,16 +360,20 @@ def _adm0_kernel(
 
     # --- column filters + lane decimation (MXU banded matmuls) -------------
     w_arr = rbuf.shape[-1]
-    plan = _lane_filt_plan(w, w_arr, wq2)
-    shared = None
-    bands = []
-    for j, (a_j, sw, pure) in enumerate(plan):
-        if pure:
-            if shared is None:
-                shared = _col_band(j, w, a_j, sw, True)
-            bands.append(shared)
-        else:
-            bands.append(_col_band(j, w, a_j, sw, False))
+    if col_plan is not None:
+        plan = [(a_j, sw, False) for a_j, sw, _k in col_plan]
+        bands = [colb[k] for _a, _sw, k in col_plan]
+    else:
+        plan = _lane_filt_plan(w, w_arr, wq2)
+        shared = None
+        bands = []
+        for j, (a_j, sw, pure) in enumerate(plan):
+            if pure:
+                if shared is None:
+                    shared = _col_band(j, w, a_j, sw, True)
+                bands.append(shared)
+            else:
+                bands.append(_col_band(j, w, a_j, sw, False))
     oa, oh = _lane_filt_decim(lo_r, bands, plan)
     ov, od = _lane_filt_decim(hi_r, bands, plan)
     ta, th = _lane_filt_decim(lo_d, bands, plan)
@@ -430,12 +463,14 @@ def _adm0_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "egl", "interpret", "stages", "h", "w", "crop"),
+    static_argnames=("scale", "egl", "interpret", "stages", "h", "w", "crop",
+                     "ext_bands"),
 )
 def adm_scale_pallas(
     ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int = 0,
     egl=None, interpret: bool = False, stages: int = 6,
     h: int | None = None, w: int | None = None, crop: bool = True,
+    ext_bands: bool = True,
 ):
     """Fused ADM at one scale over (B, H, W) luma (the scale's approximation
     band — the original luma at scale 0).
@@ -528,11 +563,25 @@ def adm_scale_pallas(
         z = jnp.zeros((b, h2, w2), jnp.float32)
         return jnp.sum(sums[..., 0], axis=-1), jnp.sum(sums[..., 1], -1), z, z
 
+    inputs = [prep(ref_y), prep(dis_y)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    col_plan = None
+    if ext_bands:
+        colb, col_plan = build_adm_col_bands(w, w_arr, wq2)
+        inputs.append(colb)
+        in_specs.append(pl.BlockSpec(
+            colb.shape, lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM
+        ))
+
     sums, a_ref, a_dis = pl.pallas_call(
         functools.partial(
             _adm0_kernel,
             h=h, w=w, h_arr=h_arr, h2=h2, w2=w2, wq2=wq2, top=top, left=left,
             fh=float(fh), fd=float(fd), egl=egl, strip=strip, stages=stages,
+            col_plan=col_plan,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_strips, 128), jnp.float32),
@@ -540,10 +589,7 @@ def adm_scale_pallas(
             jax.ShapeDtypeStruct((b, n_strips * strip, wq2), jnp.float32),
         ),
         grid=(b, n_strips),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -559,7 +605,7 @@ def adm_scale_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(prep(ref_y), prep(dis_y))
+    )(*inputs)
 
     third = 1.0 / 3.0
     # sums holds per-strip partials — reduce over strips BEFORE the cube root.

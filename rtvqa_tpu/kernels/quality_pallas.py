@@ -52,9 +52,11 @@ from rtvqa_tpu.kernels.vif_pallas import (
     _EPS,
     _SIGMA_NSQ,
     _dma_row_start,
+    _filt_lanes_ext,
     _filt_lanes_raw,
     _filt_rows_raw,
     _round_up,
+    build_lane_bands,
     resolve_fast3,
 )
 from rtvqa_tpu.vmaf.filters import gaussian_kernel
@@ -86,6 +88,73 @@ def _pool4_lane_band(sw: int, delta: int):
         term = jnp.where((i_ids == l_t) & (l_t < sw), 1.0, 0.0)
         m = term if m is None else m + term
     return m
+
+
+def _ssim_row_band_y(ro, rows, nbr_y):
+    """Luma SSIM row-pooling band (see the kernel docstring): out row
+    o = m * 16 + br sums 4 buffer rows of stacked moment m starting at
+    buffer row ro + 4*br; moment 2 sums both the r^2 and d^2 segments.
+    ``ro`` may be traced (in-kernel path) or static (build_ssim_bands)."""
+    shape = (64, 5 * rows)
+    o_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    m_ids = o_ids // 16
+    br = o_ids % 16
+    seg_of_m = jnp.where(
+        m_ids == 0, 0, jnp.where(m_ids == 1, 1, jnp.where(m_ids == 2, 2, 4))
+    )
+    base = seg_of_m * rows + ro + 4 * br
+    band = None
+    for t in range(4):
+        hit = (l_ids == base + t) & (br <= nbr_y)
+        hit2 = (m_ids == 2) & (l_ids == base + rows + t) & (br <= nbr_y)
+        term = jnp.where(hit | hit2, 1.0, 0.0)
+        band = term if band is None else band + term
+    return band
+
+
+def _ssim_row_band_c(crows, nbr_c):
+    """Chroma SSIM row-pooling band: 8 moments (u x4 then v x4), static."""
+    shape = (64, 8 * crows)
+    o_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    m_ids = o_ids // 8
+    br = o_ids % 8
+    base = m_ids * crows + 4 * br
+    band = None
+    for t in range(4):
+        term = jnp.where((l_ids == base + t) & (br <= nbr_c), 1.0, 0.0)
+        band = term if band is None else band + term
+    return band
+
+
+def build_pool4_bands(w_arr: int, n_tiles: int, data_off: int):
+    """Pre-build the 4x lane-pooling band matrices (round 3f — see
+    ``vif_pallas.build_lane_bands`` for the rationale). Returns
+    ((n_distinct, sw, 128) stack, static (a_t, mat_idx) plan, sw)."""
+    sw = min(640, w_arr)
+    deltas = {}
+    mats = []
+    plan = []
+    for t in range(n_tiles):
+        a_t = min(((data_off + 512 * t) // 128) * 128, w_arr - sw)
+        delta = data_off + 512 * t - a_t
+        if delta not in deltas:
+            deltas[delta] = len(mats)
+            mats.append(_pool4_lane_band(sw, delta))
+        plan.append((a_t, deltas[delta]))
+    return jnp.stack(mats), tuple(plan), sw
+
+
+def _lane_pool4_ext(x, bands_ref, plan, sw: int):
+    """4x lane pooling with PRE-BUILT bands (``build_pool4_bands``)."""
+    outs = [
+        jnp.dot(x[:, a : a + sw], bands_ref[k],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        for a, k in plan
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _lane_pool4(x, n_tiles, data_off):
@@ -166,13 +235,10 @@ def _roll2(x, shift_rows, shift_lanes):
 
 
 def _fused_q_kernel(
-    ref_hbm, dis_hbm, ru_hbm, du_hbm, rv_hbm, dv_hbm, pblur_hbm,
-    out_ref, dec_ref_out, dec_dis_out, blur_out,
-    rbuf, dbuf, cbufs, pblur_buf, blur_prev,
-    sem_r, sem_d, sem_c, sem_p,
-    *, h: int, w: int, h_arr: int, wq2: int, h2: int, w2: int,
+    *refs,
+    h: int, w: int, h_arr: int, wq2: int, h2: int, w2: int,
     n_tiles_y: int, n_tiles_c: int, taps_stats, taps_dec, egl, strip: int,
-    fast3: bool = False, stages: int = 6,
+    fast3: bool = False, stages: int = 6, plans=None,
 ):
     """Grid (n_strips, B) — strip-major, frame-minor (the blur_prev scratch
     carries frame i-1's blurred strip into cell (s, i)).
@@ -188,7 +254,25 @@ def _fused_q_kernel(
     outputs directly (the external even_lanes matmul + crop are gone).
     Chroma keeps its cheap zero-pad staging (quarter-size planes, and the
     960-wide 1080p chroma isn't 128-lane-aligned raw).
+
+    Round 3f: when ``plans`` is given, the stats/dec/blur LANE band matrices
+    arrive as VMEM operands pre-built by ``vif_pallas.build_lane_bands``
+    (constant index_map — copied once, not per cell) instead of being
+    rebuilt on the VPU in every grid cell.
     """
+    if plans is not None:
+        (ref_hbm, dis_hbm, ru_hbm, du_hbm, rv_hbm, dv_hbm, pblur_hbm,
+         stats_b, dec_b, blur_b, ssim_y_b, ssim_c_b, pool_y_b, pool_c_b,
+         out_ref, dec_ref_out, dec_dis_out, blur_out,
+         rbuf, dbuf, cbufs, pblur_buf, blur_prev,
+         sem_r, sem_d, sem_c, sem_p) = refs
+        (stats_plan, dec_plan, blur_plan,
+         pool_y_plan, pool_y_sw, pool_c_plan, pool_c_sw) = plans
+    else:
+        (ref_hbm, dis_hbm, ru_hbm, du_hbm, rv_hbm, dv_hbm, pblur_hbm,
+         out_ref, dec_ref_out, dec_dis_out, blur_out,
+         rbuf, dbuf, cbufs, pblur_buf, blur_prev,
+         sem_r, sem_d, sem_c, sem_p) = refs
     s = pl.program_id(0)
     i = pl.program_id(1)
     rows = strip + 16  # 8-row halo each side (17-tap moment filter)
@@ -266,10 +350,16 @@ def _fused_q_kernel(
         r, taps_blur, 1, strip, rows, 1, row0, st, h, False,
         precision=jax.lax.Precision.HIGHEST,
     )
-    blur_cur = _filt_lanes_raw(
-        blur_rows, taps_blur, w, w_arr // 128, 1, False,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if plans is not None:
+        blur_cur = _filt_lanes_ext(
+            blur_rows, blur_b, blur_plan, False,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        blur_cur = _filt_lanes_raw(
+            blur_rows, taps_blur, w, w_arr // 128, 1, False,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     rowsb = jax.lax.broadcasted_iota(jnp.int32, blur_cur.shape, 0)
     lanesb = jax.lax.broadcasted_iota(jnp.int32, blur_cur.shape, 1)
     bvalid = (rowsb < strip_valid) & (lanesb < w)
@@ -295,31 +385,18 @@ def _fused_q_kernel(
     # SSIM row pooling: out row o = m * 16 + br (m in 0..3, br in 0..8 used)
     # sums 4 buffer rows of the stacked segment(s) of moment m; moment 2 is
     # r^2 + d^2 (ones in two segments). Block row br starts at buffer row
-    # ro + 4*br (traced DMA offset).
+    # ro + 4*br (per-strip static in the ext-bands stack).
     nbr_y = strip // 4  # window rows per strip (block rows minus halo)
 
-    def _ssim_row_band():
-        shape = (64, 5 * rows)
-        o_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        l_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        m_ids = o_ids // 16
-        br = o_ids % 16
-        seg_of_m = jnp.where(m_ids == 0, 0, jnp.where(m_ids == 1, 1, jnp.where(m_ids == 2, 2, 4)))
-        base = seg_of_m * rows + ro + 4 * br
-        band = None
-        for t in range(4):
-            hit = (l_ids == base + t) & (br <= nbr_y)
-            # moment 2 also sums segment 3 (d*d)
-            hit2 = (m_ids == 2) & (l_ids == base + rows + t) & (br <= nbr_y)
-            term = jnp.where(hit | hit2, 1.0, 0.0)
-            band = term if band is None else band + term
-        return band
-
     row_pooled = jnp.dot(
-        _ssim_row_band(), stacked,
+        ssim_y_b[0] if plans is not None else _ssim_row_band_y(ro, rows, nbr_y),
+        stacked,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
-    bs_y = _lane_pool4(row_pooled, n_tiles_y, 0)
+    if plans is not None:
+        bs_y = _lane_pool4_ext(row_pooled, pool_y_b, pool_y_plan, pool_y_sw)
+    else:
+        bs_y = _lane_pool4(row_pooled, n_tiles_y, 0)
     win_y = bs_y + _roll2(bs_y, -1, 0)
     win_y = win_y + _roll2(win_y, 0, -1)
     ssim_y_sum = _ssim_from_windows(
@@ -351,24 +428,15 @@ def _fused_q_kernel(
 
     nbr_c = cstrip // 4
 
-    def _ssim_row_band_c():
-        shape = (64, 8 * crows)
-        o_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        l_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        m_ids = o_ids // 8  # 8 moments: u x4 then v x4
-        br = o_ids % 8
-        base = m_ids * crows + 4 * br
-        band = None
-        for t in range(4):
-            term = jnp.where((l_ids == base + t) & (br <= nbr_c), 1.0, 0.0)
-            band = term if band is None else band + term
-        return band
-
     row_pooled_c = jnp.dot(
-        _ssim_row_band_c(), stacked_c,
+        ssim_c_b[...] if plans is not None else _ssim_row_band_c(crows, nbr_c),
+        stacked_c,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
-    bs_c = _lane_pool4(row_pooled_c, n_tiles_c, 8)
+    if plans is not None:
+        bs_c = _lane_pool4_ext(row_pooled_c, pool_c_b, pool_c_plan, pool_c_sw)
+    else:
+        bs_c = _lane_pool4(row_pooled_c, n_tiles_c, 8)
     win_c = bs_c + _roll2(bs_c, -1, 0)
     win_c = win_c + _roll2(win_c, 0, -1)
     ssim_u_sum = _ssim_from_windows(
@@ -392,7 +460,10 @@ def _fused_q_kernel(
     mom_rows = _filt_rows_raw(
         stacked, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
     )
-    mom = _filt_lanes_raw(mom_rows, taps_stats, w, w_arr // 128, 1, fast3)
+    if plans is not None:
+        mom = _filt_lanes_ext(mom_rows, stats_b, stats_plan, fast3)
+    else:
+        mom = _filt_lanes_raw(mom_rows, taps_stats, w, w_arr // 128, 1, fast3)
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -441,7 +512,10 @@ def _fused_q_kernel(
     dec_rows = _filt_rows_raw(
         rd_stack, taps_dec, 2, half, rows, 2, row0, st, h, fast3
     )
-    dec = _filt_lanes_raw(dec_rows, taps_dec, w, wq2 // 128, 2, fast3)
+    if plans is not None:
+        dec = _filt_lanes_ext(dec_rows, dec_b, dec_plan, fast3)
+    else:
+        dec = _filt_lanes_raw(dec_rows, taps_dec, w, wq2 // 128, 2, fast3)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
@@ -461,11 +535,13 @@ def _fused_q_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("egl", "interpret", "fast3", "crop", "stages")
+    jax.jit,
+    static_argnames=("egl", "interpret", "fast3", "crop", "stages",
+                     "ext_bands"),
 )
 def quality_fused_pallas(
     ry, ru, rv, dy, du, dv, prev_blur, egl=None, interpret: bool = False,
-    fast3=None, crop: bool = True, stages: int = 6,
+    fast3=None, crop: bool = True, stages: int = 6, ext_bands: bool = True,
 ):
     """Fused VIF-scale-0 + program-A over YUV420 batches.
 
@@ -558,16 +634,70 @@ def quality_fused_pallas(
         (strip, w_arr), lambda s, i: (s, 0), memory_space=pltpu.VMEM
     )
 
+    f3 = resolve_fast3(fast3)
+    inputs = [ref_p, dis_p, ru_p, du_p, rv_p, dv_p, pblur_p]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 7
+    plans = None
+    if ext_bands:
+        # Round 3f: band matrices built ONCE in XLA, passed as VMEM
+        # operands (see vif_pallas.build_lane_bands).
+        taps_blur = tuple(float(v) for v in FILTER_5)
+        stats_bands, stats_plan = build_lane_bands(
+            taps_stats, w, w_arr, w_arr // 128, 1, f3)
+        dec_bands, dec_plan = build_lane_bands(
+            taps_dec, w, w_arr, wq2 // 128, 2, f3)
+        blur_bands, blur_plan = build_lane_bands(
+            taps_blur, w, w_arr, w_arr // 128, 1, False)
+        # SSIM row bands: the luma band depends on the strip's DMA offset
+        # ro = row0 - st (static per strip) — stacked per strip, BlockSpec-
+        # indexed by s. The chroma band and the pool4 lane bands are
+        # strip-invariant.
+        nbr_y = strip // 4
+        ssim_y_bands = jnp.stack([
+            _ssim_row_band_y(
+                s * strip
+                - min(max((s * strip - 8) // 8, 0), (h_arr - rows) // 8) * 8,
+                rows, nbr_y,
+            )
+            for s in range(n_strips)
+        ])
+        ssim_c_band = _ssim_row_band_c(crows, cstrip // 4)
+        pool_y_bands, pool_y_plan, pool_y_sw = build_pool4_bands(
+            w_arr, n_tiles_y, 0)
+        pool_c_bands, pool_c_plan, pool_c_sw = build_pool4_bands(
+            wc_buf, n_tiles_c, 8)
+        plans = (stats_plan, dec_plan, blur_plan,
+                 pool_y_plan, pool_y_sw, pool_c_plan, pool_c_sw)
+        for bnd in (stats_bands, dec_bands, blur_bands):
+            inputs.append(bnd)
+            in_specs.append(pl.BlockSpec(
+                bnd.shape, lambda s, i: (0, 0, 0), memory_space=pltpu.VMEM
+            ))
+        inputs.append(ssim_y_bands)
+        in_specs.append(pl.BlockSpec(
+            (1,) + ssim_y_bands.shape[1:], lambda s, i: (s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        inputs.append(ssim_c_band)
+        in_specs.append(pl.BlockSpec(
+            ssim_c_band.shape, lambda s, i: (0, 0), memory_space=pltpu.VMEM
+        ))
+        for bnd in (pool_y_bands, pool_c_bands):
+            inputs.append(bnd)
+            in_specs.append(pl.BlockSpec(
+                bnd.shape, lambda s, i: (0, 0, 0), memory_space=pltpu.VMEM
+            ))
+
     outs = pl.pallas_call(
         functools.partial(
             _fused_q_kernel, h=h, w=w, h_arr=h_arr, wq2=wq2, h2=h2, w2=w2,
             n_tiles_y=n_tiles_y, n_tiles_c=n_tiles_c,
             taps_stats=taps_stats, taps_dec=taps_dec, egl=egl, strip=strip,
-            fast3=resolve_fast3(fast3), stages=stages,
+            fast3=f3, stages=stages, plans=plans,
         ),
         out_shape=(out_shape, dec_shape, dec_shape, blur_shape),
         grid=(n_strips, b),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        in_specs=in_specs,
         out_specs=(out_spec, dec_spec, dec_spec, blur_spec),
         scratch_shapes=[
             pltpu.VMEM((rows, w_arr), jnp.float32),         # rbuf
@@ -581,7 +711,7 @@ def quality_fused_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(ref_p, dis_p, ru_p, du_p, rv_p, dv_p, pblur_p)
+    )(*inputs)
 
     packed, dec_r, dec_d, blur_carry = outs
     packed = packed.reshape(b, n_strips, 8, 128)[:, :, 0, :]

@@ -172,6 +172,73 @@ def _lane_band_raw(b: int, a: int, sw: int, stride: int, halo: int,
     return band
 
 
+def build_lane_bands(taps, w: int, w_arr: int, n_blocks: int,
+                     stride: int = 1, fast3: bool = FILTER_FAST3):
+    """Build the lane band matrices OUTSIDE the kernel (XLA, once per
+    program call — round 3f).
+
+    The in-kernel construction re-evaluates ``len(taps)`` iota-compare-add
+    passes over every distinct (sw, 128) matrix in EVERY grid cell on the
+    VPU (Mosaic executes the whole body per cell; it does not hoist
+    loop-invariant tensor code across grid steps). At 128x1080p that is
+    thousands of cells x ~5M elementwise ops for the 17-tap stats bands —
+    a large share of the fused kernels' stage cost. Building them once in
+    XLA and passing them as VMEM operands (constant index_map, so the
+    pipeline elides the re-copies) removes that per-cell cost.
+
+    Returns (stack, plan2): ``stack`` is (n_distinct, sw, bw) — bf16 with
+    bw = 256 (the [hi | lo] tap concat) for fast3, f32 with bw = 128
+    otherwise — and ``plan2`` a static tuple of (slice_start, sw, mat_idx)
+    per output block, index into the distinct-matrix stack."""
+    halo = len(taps) // 2
+    plan = _lane_plan_raw(w, w_arr, n_blocks, stride, halo)
+    mats = []
+    plan2 = []
+    shared_idx = None
+    for b, (a, sw, pure) in enumerate(plan):
+        if pure and shared_idx is not None:
+            plan2.append((a, sw, shared_idx))
+            continue
+        mk = _lane_band_raw(b, a, sw, stride, halo, w, pure)
+        if fast3:
+            th, tl = _split_taps(taps)
+            m = jnp.concatenate(
+                [mk(th).astype(jnp.bfloat16), mk(tl).astype(jnp.bfloat16)],
+                axis=1,
+            )
+        else:
+            m = mk(taps)
+        if pure:
+            shared_idx = len(mats)
+        plan2.append((a, sw, len(mats)))
+        mats.append(m)
+    return jnp.stack(mats), tuple(plan2)
+
+
+def _filt_lanes_ext(x, bands_ref, plan2, fast3: bool, precision=None):
+    """Lane-axis FIR with PRE-BUILT band matrices (``build_lane_bands``)
+    read from a VMEM ref — the round-3f fast path of ``_filt_lanes_raw``."""
+    prec = FILTER_PRECISION if precision is None else precision
+    if fast3:
+        xh, xl = _split_bf16(x)
+        blocks = []
+        for a, sw, k in plan2:
+            m_hl = bands_ref[k]
+            zh = jnp.dot(xh[:, a : a + sw], m_hl,
+                         preferred_element_type=jnp.float32)
+            zl = jnp.dot(xl[:, a : a + sw], m_hl[:, :128],
+                         preferred_element_type=jnp.float32)
+            blocks.append(zh[:, :128] + zh[:, 128:] + zl)
+        return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 1)
+    blocks = []
+    for a, sw, k in plan2:
+        blocks.append(
+            jnp.dot(x[:, a : a + sw], bands_ref[k],
+                    preferred_element_type=jnp.float32, precision=prec)
+        )
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 1)
+
+
 def _filt_lanes_raw(x, taps, w: int, n_blocks: int, stride: int = 1,
                     fast3: bool = FILTER_FAST3, precision=None):
     """Lane-axis FIR filter (optionally fused with 2x lane decimation via
@@ -305,7 +372,7 @@ def _dma_row_start(row0, h_arr: int, rows: int):
 def _vif_scale_kernel(
     ref_hbm, dis_hbm, *refs,
     strip: int, h: int, w: int, h_arr: int, wq2,
-    taps_stats, taps_dec, egl=None, fast3: bool = False,
+    taps_stats, taps_dec, egl=None, fast3: bool = False, plans=None,
 ):
     """Grid (B, n_strips). Strip s covers output rows [s*strip, (s+1)*strip).
 
@@ -323,7 +390,13 @@ def _vif_scale_kernel(
     (stride=2), so the kernel writes half-width dec outputs directly and
     the external ``even_lanes`` matmul + crop copies are gone.
     """
-    if taps_dec is not None:
+    stats_b = dec_b = None
+    if plans is not None and taps_dec is not None:
+        (stats_b, dec_b, out_nd_ref, dec_ref_out, dec_dis_out,
+         rbuf, dbuf, sem_r, sem_d) = refs
+    elif plans is not None:
+        stats_b, out_nd_ref, rbuf, dbuf, sem_r, sem_d = refs
+    elif taps_dec is not None:
         out_nd_ref, dec_ref_out, dec_dis_out, rbuf, dbuf, sem_r, sem_d = refs
     else:
         out_nd_ref, rbuf, dbuf, sem_r, sem_d = refs
@@ -362,7 +435,10 @@ def _vif_scale_kernel(
     mom_rows = _filt_rows_raw(
         stacked, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
     )
-    mom = _filt_lanes_raw(mom_rows, taps_stats, w, w_arr // 128, 1, fast3)
+    if plans is not None:
+        mom = _filt_lanes_ext(mom_rows, stats_b, plans[0], fast3)
+    else:
+        mom = _filt_lanes_raw(mom_rows, taps_stats, w, w_arr // 128, 1, fast3)
     mu1 = mom[0:strip]
     mu2 = mom[strip : 2 * strip]
     s11 = mom[2 * strip : 3 * strip]
@@ -418,19 +494,24 @@ def _vif_scale_kernel(
     dec_rows = _filt_rows_raw(
         rd_stack, taps_dec, 2, half, rows, 2, row0, st, h, fast3
     )
-    dec = _filt_lanes_raw(dec_rows, taps_dec, w, wq2 // 128, 2, fast3)
+    if plans is not None:
+        dec = _filt_lanes_ext(dec_rows, dec_b, plans[1], fast3)
+    else:
+        dec = _filt_lanes_raw(dec_rows, taps_dec, w, wq2 // 128, 2, fast3)
     dec_ref_out[0, :, :] = dec[0:half]
     dec_dis_out[0, :, :] = dec[half : 2 * half]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "egl", "interpret", "fast3", "h", "w", "crop"),
+    static_argnames=("scale", "egl", "interpret", "fast3", "h", "w", "crop",
+                     "ext_bands"),
 )
 def vif_scale_pallas(
     ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int, egl=None,
     interpret: bool = False, fast3=None,
     h: int | None = None, w: int | None = None, crop: bool = True,
+    ext_bands: bool = True,
 ):
     """Fused VIF at one scale over (B, H, W) float/uint8 luma.
 
@@ -511,17 +592,38 @@ def vif_scale_pallas(
         (1, strip // 2, wq2), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM
     )
 
+    inputs = [prep(ref_y), prep(dis_y)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    plans = None
+    if ext_bands:
+        stats_bands, stats_plan = build_lane_bands(
+            taps_stats, w, w_arr, w_arr // 128, 1, f3)
+        band_ins = [stats_bands]
+        if taps_dec is not None:
+            dec_bands, dec_plan = build_lane_bands(
+                taps_dec, w, w_arr, wq2 // 128, 2, f3)
+            band_ins.append(dec_bands)
+            plans = (stats_plan, dec_plan)
+        else:
+            plans = (stats_plan,)
+        for bnd in band_ins:
+            inputs.append(bnd)
+            in_specs.append(pl.BlockSpec(
+                bnd.shape, lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM
+            ))
+
     outs = pl.pallas_call(
         functools.partial(
             _vif_scale_kernel, strip=strip, h=h, w=w, h_arr=h_arr, wq2=wq2,
             taps_stats=taps_stats, taps_dec=taps_dec, egl=egl, fast3=f3,
+            plans=plans,
         ),
         out_shape=(nd_shape, dec_shape, dec_shape) if taps_dec else (nd_shape,),
         grid=(b, n_strips),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(nd_spec, dec_spec, dec_spec) if taps_dec else (nd_spec,),
         scratch_shapes=[
             pltpu.VMEM((rows, w_arr), jnp.float32),
@@ -530,7 +632,7 @@ def vif_scale_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(prep(ref_y), prep(dis_y))
+    )(*inputs)
 
     out_nd = outs[0]
     num = jnp.sum(out_nd[..., 0], axis=-1)

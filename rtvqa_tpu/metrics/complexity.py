@@ -39,10 +39,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb_planes
+from rtvqa_tpu.ops.color import yuv420_to_gray
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
-from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
+from rtvqa_tpu.ops.histogram import color_entropy_sampled, gray_entropy
 from rtvqa_tpu.ops.motion import (
     block_match_motion,
     block_match_motion_pyramid_series,
@@ -141,8 +141,12 @@ def complexity_suite(
     else:
         motion_series = block_match_motion(prev_g, curr_g, block=block, radius=radius)
 
-    # -- spatial metrics on first-of-pair frames s[1:].
-    gray_rs = resize_bilinear(curr_g, resize_h, resize_w)     # (N-1, rh, rw)
+    # -- spatial metrics on first-of-pair frames s[1:]. Dense matmul resize:
+    #    for an f32 operand already in HBM the MXU read beats the sampled
+    #    row-gather form (probed 2.3 vs 8.3 ms real at 128x1080p, round 3g —
+    #    XLA gathers are slow; the sampled form only wins when it removes
+    #    CONVERSION work, as in the color path below).
+    gray_rs = resize_bilinear(curr_g, resize_h, resize_w)
     dct_series = dct_energy(gray_rs)
     hist_series = gray_entropy(gray_rs)
     edge_series = canny_edge_count(gray_rs, edge_low, edge_high)
@@ -150,16 +154,12 @@ def complexity_suite(
     gray_orb = resize_bilinear(curr_g, ORB_SIZE, ORB_SIZE)
     orb_series = orb_keypoint_count(gray_orb)
 
-    # Channel-batched layout: one (N-1, 3, H, W) channel-MAJOR tensor through
-    # one pair of batched resize matmuls. Built directly from the channel
-    # planes — the old interleaved (N-1, H, W, 3) + moveaxis form put 3 on
-    # the lane dimension, a full-resolution relayout that measured ~38 ms of
-    # the color path's device time at 128x1080p (round 3c probe).
-    r_p, g_p, b_p = yuv420_to_rgb_planes(y[1:], u[1:], v[1:])
-    rgb_rs = resize_bilinear(
-        jnp.stack([r_p, g_p, b_p], axis=1), resize_h, resize_w
-    )                                                         # (N-1, 3, rh, rw)
-    color_series = color_entropy(jnp.moveaxis(rgb_rs, 1, -1))
+    # Color path: sampled-rows convert + resize + entropy (bitwise-equal to
+    # full-res convert + resize; see ops.histogram.color_entropy_sampled —
+    # round 3g, ~40 ms of HBM traffic removed at 128x1080p).
+    color_series = color_entropy_sampled(
+        y[1:], u[1:], v[1:], resize_h, resize_w
+    )
 
     # -- temporal DCT on consecutive first-of-pair frames (N-2 values),
     #    reference calculate_temporal_dct (complexity_metrics.py:506-541).

@@ -35,6 +35,33 @@ def upsample_chroma(c: jnp.ndarray) -> jnp.ndarray:
     return c
 
 
+def yuv_rows_to_rgb_planes(
+    y_rows: jnp.ndarray, u_rows: jnp.ndarray, v_rows: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Row-aligned YUV -> (r, g, b) float32 planes in [0,255].
+
+    ``y_rows`` (..., K, W) with ``u_rows``/``v_rows`` (..., K, W/2) already
+    sampled at the MATCHING rows (caller maps luma row r to chroma row r//2 —
+    the 2x row replication of :func:`upsample_chroma` expressed as an index);
+    only the 2x LANE replication happens here. Lets callers that only need a
+    few source rows (the 2-tap bilinear resize of the complexity color path)
+    convert K rows instead of H — bitwise-identical values at the sampled
+    positions.
+    """
+    yf = y_rows.astype(jnp.float32) - 16.0
+    w = y_rows.shape[-1]
+    uf = jnp.repeat(u_rows.astype(jnp.float32), 2, axis=-1)[..., :w] - 128.0
+    vf = jnp.repeat(v_rows.astype(jnp.float32), 2, axis=-1)[..., :w] - 128.0
+    r = _Y_SCALE * yf + _V_R * vf
+    g = _Y_SCALE * yf + _U_G * uf + _V_G * vf
+    b = _Y_SCALE * yf + _U_B * uf
+    return (
+        jnp.clip(r, 0.0, 255.0),
+        jnp.clip(g, 0.0, 255.0),
+        jnp.clip(b, 0.0, 255.0),
+    )
+
+
 def yuv420_to_rgb_planes(
     y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -47,19 +74,9 @@ def yuv420_to_rgb_planes(
     45 ms (gray) + 38 ms (color path) of device time per 128x1080p batch in
     round 3c, the single largest non-motion cost in the complexity suite.
     """
-    yf = y.astype(jnp.float32) - 16.0
-    uf = upsample_chroma(u.astype(jnp.float32)) - 128.0
-    vf = upsample_chroma(v.astype(jnp.float32)) - 128.0
-    uf = uf[..., : y.shape[-2], : y.shape[-1]]
-    vf = vf[..., : y.shape[-2], : y.shape[-1]]
-    r = _Y_SCALE * yf + _V_R * vf
-    g = _Y_SCALE * yf + _U_G * uf + _V_G * vf
-    b = _Y_SCALE * yf + _U_B * uf
-    return (
-        jnp.clip(r, 0.0, 255.0),
-        jnp.clip(g, 0.0, 255.0),
-        jnp.clip(b, 0.0, 255.0),
-    )
+    u_rows = jnp.repeat(u, 2, axis=-2)[..., : y.shape[-2], :]
+    v_rows = jnp.repeat(v, 2, axis=-2)[..., : y.shape[-2], :]
+    return yuv_rows_to_rgb_planes(y, u_rows, v_rows)
 
 
 def yuv420_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -68,3 +68,41 @@ def color_entropy(rgb: jnp.ndarray) -> jnp.ndarray:
     per_channel = jnp.moveaxis(rgb, -1, 0)  # (3, ..., H, W)
     ents = entropy_eps(histogram_256(per_channel))
     return jnp.sum(ents, axis=0)
+
+
+def color_entropy_sampled(
+    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """Color entropy of the bilinear-resized RGB frames, computed from the
+    sampled rows only — bitwise-equal to ``color_entropy`` over
+    full-res-convert + resize (reference path: decode to BGR, ``cv2.resize``,
+    per-channel hists, ``complexity_metrics.py:418-475``).
+
+    The 2-tap bilinear row pass reads <= 2*out_h of the H source rows, so
+    this gathers those rows of the YUV planes, converts + clips ONLY them
+    (chroma row replication becomes the index map r -> r//2), contracts
+    with the compact row weights, then runs the dense column pass. The
+    full-res clipped RGB planes the naive form materializes measured ~40 ms
+    of pure HBM traffic per 128x1080p batch (round 3g profile). Stacking is
+    channel-MAJOR (round 3c: channel-minor layouts are a full-res relayout
+    pathology on TPU).
+    """
+    import jax
+
+    from rtvqa_tpu.ops.color import yuv_rows_to_rgb_planes
+    from rtvqa_tpu.ops.resize import bilinear_sample_plan, resize_bilinear
+
+    h = y.shape[-2]
+    ridx, rmat = bilinear_sample_plan(out_h, h)
+    y_rows = jnp.take(y, jnp.asarray(ridx), axis=-2)
+    u_rows = jnp.take(u, jnp.asarray(ridx // 2), axis=-2)
+    v_rows = jnp.take(v, jnp.asarray(ridx // 2), axis=-2)
+    r_p, g_p, b_p = yuv_rows_to_rgb_planes(y_rows, u_rows, v_rows)
+    rgb_rows = jnp.einsum(
+        "oh,...chw->...cow", jnp.asarray(rmat, jnp.float32),
+        jnp.stack([r_p, g_p, b_p], axis=-3),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                 # (..., 3, out_h, W)
+    rgb_rs = resize_bilinear(rgb_rows, out_h, out_w)  # column pass only
+    return color_entropy(jnp.moveaxis(rgb_rs, -3, -1))

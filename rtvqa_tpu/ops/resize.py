@@ -53,6 +53,45 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return x
 
 
+@functools.lru_cache(maxsize=64)
+def bilinear_sample_plan(dst: int, src: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row-index vector, compact weight matrix) for a gathered bilinear
+    contraction: ``_bilinear_matrix(dst, src)`` has <=2 nonzero taps per
+    output, so for heavy downscales (1080 -> 64) the dense contraction reads
+    the whole source while only ``<= 2*dst`` rows carry weight. Returns
+    ``idx`` (k,) int32 of the distinct source rows used and ``mat`` (dst, k)
+    with ``mat @ x[idx] == _bilinear_matrix(dst, src) @ x`` BITWISE (the
+    dropped terms are exact zeros; f32 addition of 0.0 is exact)."""
+    m = _bilinear_matrix(dst, src)
+    idx = np.unique(np.nonzero(m)[1]).astype(np.int32)
+    return idx, np.ascontiguousarray(m[:, idx])
+
+
+def resize_bilinear_sampled(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bitwise-equal to :func:`resize_bilinear`, but gathers the needed
+    source ROWS before the row contraction (``bilinear_sample_plan``) —
+    reads ``2*out_h/H`` of the input instead of all of it. The column pass
+    stays a dense matmul on the already-row-reduced array (a lane gather
+    would relayout; the row-reduced operand is small).
+
+    When to use: only when the gather removes UPSTREAM work (e.g. the color
+    path converts+clips just the gathered rows). For a plain f32 array
+    already in HBM the dense MXU contraction is FASTER than the XLA gather
+    (probed 2.3 vs 8.3 ms real on 128x1080p, round 3g) — use
+    :func:`resize_bilinear` there."""
+    h, w = x.shape[-2], x.shape[-1]
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x = x.astype(dtype)
+    if h != out_h:
+        idx, mat = bilinear_sample_plan(out_h, h)
+        x = jnp.take(x, jnp.asarray(idx), axis=-2)
+        x = jnp.einsum(
+            "oh,...hw->...ow", jnp.asarray(mat, dtype), x,
+            preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST,
+        )
+    return resize_bilinear(x, out_h, out_w)
+
+
 def resize_bilinear_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """NumPy oracle with identical geometry (float path of cv2.resize)."""
     x = x.astype(np.float64)

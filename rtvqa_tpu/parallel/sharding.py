@@ -34,10 +34,10 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rtvqa_tpu.metrics.complexity import ORB_SIZE
-from rtvqa_tpu.ops.color import yuv420_to_gray, yuv420_to_rgb_planes
+from rtvqa_tpu.ops.color import yuv420_to_gray
 from rtvqa_tpu.ops.dct import dct_energy, temporal_dct_abs_diff
 from rtvqa_tpu.ops.edges import canny_edge_count
-from rtvqa_tpu.ops.histogram import color_entropy, gray_entropy
+from rtvqa_tpu.ops.histogram import color_entropy_sampled, gray_entropy
 from rtvqa_tpu.ops.motion import (
     block_match_motion,
     block_match_motion_pyramid,
@@ -84,17 +84,9 @@ def _per_frame_values(
     hist = gray_entropy(gray_rs)
     edge = canny_edge_count(gray_rs, edge_low, edge_high)
     orb = orb_keypoint_count(resize_bilinear(gray, ORB_SIZE, ORB_SIZE))
-    # Channel-MAJOR batched resize from the channel planes (see
-    # metrics.complexity: the interleaved channel-minor + moveaxis form was a
-    # measured full-resolution relayout pathology, round 3c).
-    r_p, g_p, b_p = yuv420_to_rgb_planes(y, u, v)
-    color = color_entropy(
-        jnp.moveaxis(
-            resize_bilinear(
-                jnp.stack([r_p, g_p, b_p], axis=-3), resize_h, resize_w
-            ), -3, -1,
-        )
-    )
+    # Sampled-rows color path (bitwise-equal to full-res convert + resize;
+    # ops.histogram.color_entropy_sampled, round 3g).
+    color = color_entropy_sampled(y, u, v, resize_h, resize_w)
     tdct = temporal_dct_abs_diff(prev_gray_rs, gray_rs)
     return {
         "motion": motion, "dct": dct, "histogram": hist, "edge": edge,
@@ -140,16 +132,10 @@ def _per_frame_values_series(
     hist = gray_entropy(gray_rs)
     edge = canny_edge_count(gray_rs, edge_low, edge_high)
     orb = orb_keypoint_count(resize_bilinear(gray_ext[1:], ORB_SIZE, ORB_SIZE))
-    # Channel-MAJOR batched resize from the channel planes (see
-    # metrics.complexity: the interleaved channel-minor + moveaxis form was a
-    # measured full-resolution relayout pathology, round 3c).
-    r_p, g_p, b_p = yuv420_to_rgb_planes(y_ext[1:], u_ext[1:], v_ext[1:])
-    color = color_entropy(
-        jnp.moveaxis(
-            resize_bilinear(
-                jnp.stack([r_p, g_p, b_p], axis=-3), resize_h, resize_w
-            ), -3, -1,
-        )
+    # Sampled-rows color path (bitwise-equal to full-res convert + resize;
+    # ops.histogram.color_entropy_sampled, round 3g).
+    color = color_entropy_sampled(
+        y_ext[1:], u_ext[1:], v_ext[1:], resize_h, resize_w
     )
     tdct = temporal_dct_abs_diff(gray_rs_ext[:-1], gray_rs)
     return {

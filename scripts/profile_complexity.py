@@ -164,6 +164,25 @@ def main():
         lambda k: np.asarray(color_path(y, u, v, k)), tags,
     )
 
+    from rtvqa_tpu.ops.histogram import color_entropy_sampled
+
+    @jax.jit
+    def color_path_sampled(yy, uu, vv, tag):
+        return jnp.sum(color_entropy_sampled(yy, uu, vv, 64, 64)) + tag * 1e-30
+
+    timeit(
+        "color_entropy_sampled (3g)",
+        lambda k: np.asarray(color_path_sampled(y, u, v, k)), tags,
+    )
+
+    from rtvqa_tpu.ops.resize import resize_bilinear_sampled
+
+    @jax.jit
+    def rs64_sampled(g, tag):
+        return jnp.sum(resize_bilinear_sampled(g + tag * 1e-30, 64, 64))
+
+    timeit("resize sampled 1080p->64", lambda k: np.asarray(rs64_sampled(gray, k)), tags)
+
     known = sum(
         results.get(k, 0.0)
         for k in ("motion pyramid pallas", "yuv420_to_gray", "resize 1080p->64",

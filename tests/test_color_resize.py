@@ -88,3 +88,39 @@ def test_resize_matches_cv2_semantics():
     got = np.asarray(resize_bilinear(x, 1, 4))
     # src positions: (i+0.5)*2-0.5 = 0.5, 2.5, 4.5, 6.5
     np.testing.assert_allclose(got[0, 0], [0.5, 2.5, 4.5, 6.5], atol=1e-5)
+
+
+def test_resize_bilinear_sampled_bitwise_equal(rng):
+    # The gathered row pass must be BITWISE equal to the dense contraction:
+    # it sums the same <=2 nonzero taps (dropping exact zero terms is exact
+    # in f32).
+    from rtvqa_tpu.ops.resize import resize_bilinear_sampled
+
+    for h, w, oh, ow in ((270, 480, 64, 64), (64, 64, 64, 64), (67, 93, 9, 13)):
+        x = rng.random((3, h, w)).astype(np.float32) * 255.0
+        dense = np.asarray(resize_bilinear(x, oh, ow))
+        sampled = np.asarray(resize_bilinear_sampled(x, oh, ow))
+        np.testing.assert_array_equal(sampled, dense)
+
+
+def test_color_entropy_sampled_bitwise_equal(rng):
+    # Sampled-rows color path == full-res convert + channel-major resize +
+    # entropy (the round-3c/3g production forms), bitwise.
+    import jax.numpy as jnp
+
+    from rtvqa_tpu.ops.histogram import color_entropy, color_entropy_sampled
+
+    y = rng.integers(0, 256, (3, 54, 96), dtype=np.uint8)
+    u = rng.integers(0, 256, (3, 27, 48), dtype=np.uint8)
+    v = rng.integers(0, 256, (3, 27, 48), dtype=np.uint8)
+    r_p, g_p, b_p = yuv420_to_rgb_planes(y, u, v)
+    dense = np.asarray(
+        color_entropy(
+            jnp.moveaxis(
+                resize_bilinear(jnp.stack([r_p, g_p, b_p], axis=1), 16, 16),
+                1, -1,
+            )
+        )
+    )
+    sampled = np.asarray(color_entropy_sampled(y, u, v, 16, 16))
+    np.testing.assert_array_equal(sampled, dense)

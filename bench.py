@@ -493,6 +493,26 @@ def run_validate(out_path: str) -> int:
         mxp = np.asarray(block_match_motion_pyramid(ryq, dyq))
         check(f"motion_pyramid/{label}", mpp, mxp, 1e-6)
 
+        # Strip-streamed uint8 gray kernel (round 3h) vs the XLA form —
+        # identical expression, so only fma-contraction ULPs may differ.
+        # Max abs error reduced ON DEVICE (a full-res f32 fetch at 4K is
+        # ~66 MB of wire).
+        from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas
+        from rtvqa_tpu.ops.color import yuv420_to_gray
+
+        uc = jax.device_put(rng.integers(0, 256, (b, h // 2, w // 2), np.uint8))
+        vc = jax.device_put(rng.integers(0, 256, (b, h // 2, w // 2), np.uint8))
+        gray_err = jax.jit(
+            lambda yy, uu, vv: jnp.max(jnp.abs(
+                yuv420_to_gray_pallas(yy, uu, vv) - yuv420_to_gray(yy, uu, vv)
+            ))
+        )
+        err = float(np.asarray(gray_err(ryq, uc, vc))) / 255.0
+        checks.append({"name": f"gray/{label}", "max_rel_err": err,
+                       "tol": 1e-5, "pass": err <= 1e-5})
+        print(f"[validate] gray/{label}: max_rel_err={err:.3g} tol=1e-05",
+              flush=True)
+
         # Fused VIF0+PSNR+SSIM+motion kernel (round 3) vs the XLA programs.
         # 1080p-class only: >2048-wide frames exceed the kernel's VMEM budget
         # and production routes them to the split composition

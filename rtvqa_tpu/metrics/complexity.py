@@ -120,7 +120,15 @@ def complexity_suite(
     n_pad = y.shape[0]
     idx = jnp.arange(n_pad)
 
-    gray_full = yuv420_to_gray(y, u, v)                      # (N, H, W) f32
+    if motion_impl == "pallas":
+        # TPU path: strip-streamed uint8 kernel (kernels.gray_pallas) — the
+        # XLA form materializes the chroma-upsample relayout + RGB clip
+        # planes, ~36 ms real per 128x1080p batch (round-3g profile).
+        from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas
+
+        gray_full = yuv420_to_gray_pallas(y, u, v)           # (N, H, W) f32
+    else:
+        gray_full = yuv420_to_gray(y, u, v)                  # (N, H, W) f32
 
     curr_g = gray_full[1:]
     prev_g = gray_full[:-1]

@@ -109,7 +109,13 @@ def _per_frame_values_series(
     form (its prev frames arrive as a ppermute halo, not a series slice).
     ``motion_impl``: "xla" or "pallas" (VMEM-staged search kernel, TPU only).
     """
-    gray_ext = yuv420_to_gray(y_ext, u_ext, v_ext)
+    if motion_impl == "pallas":
+        # TPU path: strip-streamed uint8 gray kernel (kernels.gray_pallas).
+        from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas
+
+        gray_ext = yuv420_to_gray_pallas(y_ext, u_ext, v_ext)
+    else:
+        gray_ext = yuv420_to_gray(y_ext, u_ext, v_ext)
 
     if motion_search == "pyramid":
         motion = block_match_motion_pyramid_series(

@@ -134,6 +134,17 @@ def main():
 
     timeit("yuv420_to_gray", lambda k: np.asarray(conv_gray(y, u, v, k)), tags)
 
+    from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas
+
+    @jax.jit
+    def conv_gray_pallas(yy, uu, vv, tag):
+        return jnp.sum(yuv420_to_gray_pallas(yy, uu, vv) + tag * 1e-30)
+
+    timeit(
+        "gray_pallas (3h)",
+        lambda k: np.asarray(conv_gray_pallas(y, u, v, k)), tags,
+    )
+
     @jax.jit
     def rs64(g, tag):
         return jnp.sum(resize_bilinear(g + tag * 1e-30, 64, 64))

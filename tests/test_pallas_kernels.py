@@ -80,3 +80,31 @@ def test_block_match_pallas_wide_frame(rng):
     )
     exp = np.asarray(block_match_motion(prev, curr, block=16, radius=4))
     np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
+def test_gray_pallas_matches_xla(rng):
+    from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas
+    from rtvqa_tpu.ops.color import yuv420_to_gray
+
+    for h, w in ((96, 192), (67, 130), (128, 257)):
+        y = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+        u = rng.integers(0, 256, (3, -(-h // 2), -(-w // 2)), dtype=np.uint8)
+        v = rng.integers(0, 256, (3, -(-h // 2), -(-w // 2)), dtype=np.uint8)
+        got = np.asarray(yuv420_to_gray_pallas(y, u, v, interpret=True))
+        want = np.asarray(yuv420_to_gray(y, u, v))
+        # Identical expression; only fma-contraction ULPs may differ.
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_gray_pallas_small_frame_fallback(rng):
+    # Below the int8 strip size the wrapper must route to the XLA form.
+    from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas
+    from rtvqa_tpu.ops.color import yuv420_to_gray
+
+    y = rng.integers(0, 256, (2, 32, 48), dtype=np.uint8)
+    u = rng.integers(0, 256, (2, 16, 24), dtype=np.uint8)
+    v = rng.integers(0, 256, (2, 16, 24), dtype=np.uint8)
+    got = np.asarray(yuv420_to_gray_pallas(y, u, v, interpret=True))
+    want = np.asarray(yuv420_to_gray(y, u, v))
+    # Same function, but jitted-vs-eager fma contraction may differ by ULPs.
+    np.testing.assert_allclose(got, want, atol=1e-3)

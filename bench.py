@@ -457,12 +457,16 @@ def run_validate(out_path: str) -> int:
         ).astype(np.uint8)
         ryf = jax.device_put(ry.astype(np.float32))
         dyf = jax.device_put(dy.astype(np.float32))
+        ryq = jax.device_put(ry)
+        dyq = jax.device_put(dy)
 
         # Exact mode: bit-for-algorithm equivalence with the XLA oracle.
+        # The Pallas kernels get the PRODUCTION dtype (raw uint8, round 3i:
+        # int8-bitcast DMA + in-VMEM value rebuild); the oracle runs f32.
         vx = {k: np.asarray(v) for k, v in vif_features(ryf, dyf).items()}
         vp = {
             k: np.asarray(v)
-            for k, v in vif_features_pallas(ryf, dyf, fast3=False).items()
+            for k, v in vif_features_pallas(ryq, dyq, fast3=False).items()
         }
         for k in vp:
             check(f"vif/{k}/{label}", vp[k], vx[k], 2e-5)
@@ -471,18 +475,15 @@ def run_validate(out_path: str) -> int:
         # (docs/PARITY.md) — far inside the 0.1 VMAF score target.
         vf = {
             k: np.asarray(v)
-            for k, v in vif_features_pallas(ryf, dyf, fast3=True).items()
+            for k, v in vif_features_pallas(ryq, dyq, fast3=True).items()
         }
         for k in vf:
             check(f"vif_fast3/{k}/{label}", vf[k], vx[k], 5e-4)
 
-        ap = {k: np.asarray(v) for k, v in adm_features_pallas(ryf, dyf).items()}
+        ap = {k: np.asarray(v) for k, v in adm_features_pallas(ryq, dyq).items()}
         ax = {k: np.asarray(v) for k, v in adm_features(ryf, dyf).items()}
         for k in ap:
             check(f"adm/{k}/{label}", ap[k], ax[k], 2e-5)
-
-        ryq = jax.device_put(ry)
-        dyq = jax.device_put(dy)
         mp = np.asarray(block_match_motion_pallas(ryq, dyq))
         mx = np.asarray(block_match_motion(ryq, dyq))
         check(f"motion/{label}", mp, mx, 1e-6)

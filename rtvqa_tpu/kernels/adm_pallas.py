@@ -71,7 +71,12 @@ from rtvqa_tpu.vmaf.adm import (
     csf_rfactors,
 )
 
-from rtvqa_tpu.kernels.vif_pallas import FILTER_PRECISION  # noqa: E402
+from rtvqa_tpu.kernels.vif_pallas import (  # noqa: E402
+    FILTER_PRECISION,
+    stage_raw,
+    unify_pair,
+    vmem_values,
+)
 
 STRIP = 32          # decimated (subband-grid) rows produced per grid step —
                     # sized to amortize the ~15 us/cell Mosaic grid + DMA
@@ -224,7 +229,10 @@ def _adm0_dma_only_kernel(
     cur_d.wait()
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     sums_ref[0, s, :] = jnp.where(
-        lane == 0, rbuf[slot][0, 0] + dbuf[slot][0, 0], 0.0
+        lane == 0,
+        vmem_values(rbuf[slot][0:1, 0:1])[0, 0]
+        + vmem_values(dbuf[slot][0:1, 0:1])[0, 0],
+        0.0,
     )[0]
 
 
@@ -313,7 +321,8 @@ def _adm0_kernel(
         adis_out[0, :, :] = b_[1 : strip + 1, 0:wq2]
 
     if stages <= 1:
-        _early_exit(rbuf[slot], dbuf[slot], rbuf[slot][0, 0])
+        rv0 = vmem_values(rbuf[slot])
+        _early_exit(rv0, vmem_values(dbuf[slot]), rv0[0, 0])
         return
 
     # --- banded row-filter + row-decimation matrices ------------------------
@@ -351,8 +360,8 @@ def _adm0_kernel(
         rows_out = m_both.shape[0] // 2
         return both[:rows_out], both[rows_out:]
 
-    lo_r, hi_r = rows_fused(rbuf[slot])
-    lo_d, hi_d = rows_fused(dbuf[slot])
+    lo_r, hi_r = rows_fused(vmem_values(rbuf[slot]))
+    lo_d, hi_d = rows_fused(vmem_values(dbuf[slot]))
 
     if stages <= 2:
         _early_exit(lo_r, lo_d, hi_r[0, 0] + hi_d[0, 0])
@@ -522,12 +531,10 @@ def adm_scale_pallas(
     pad_rows = max(_round_up(h_in, 8), rows_in) - h_in
     pad_lanes = _round_up(w_in, 128) - w_in
 
-    def prep(x):
-        x = x.astype(jnp.float32)
-        if pad_rows or pad_lanes:
-            x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, pad_lanes)),
-                        mode="edge")
-        return x
+    ref_y, dis_y = unify_pair(ref_y, dis_y)
+    ref_p = stage_raw(ref_y, pad_rows, pad_lanes)
+    dis_p = stage_raw(dis_y, pad_rows, pad_lanes)
+    buf_dtype = ref_p.dtype  # int8 for raw uint8 inputs (round 3i)
 
     h_arr = h_in + pad_rows
     w_arr = w_in + pad_lanes
@@ -553,17 +560,17 @@ def adm_scale_pallas(
             out_specs=pl.BlockSpec((1, n_strips, 128), lambda i, s: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, rows_in, w_arr), jnp.float32),
-                pltpu.VMEM((2, rows_in, w_arr), jnp.float32),
+                pltpu.VMEM((2, rows_in, w_arr), buf_dtype),
+                pltpu.VMEM((2, rows_in, w_arr), buf_dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(prep(ref_y), prep(dis_y))
+        )(ref_p, dis_p)
         z = jnp.zeros((b, h2, w2), jnp.float32)
         return jnp.sum(sums[..., 0], axis=-1), jnp.sum(sums[..., 1], -1), z, z
 
-    inputs = [prep(ref_y), prep(dis_y)]
+    inputs = [ref_p, dis_p]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -599,8 +606,8 @@ def adm_scale_pallas(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rows_in, w_arr), jnp.float32),
-            pltpu.VMEM((2, rows_in, w_arr), jnp.float32),
+            pltpu.VMEM((2, rows_in, w_arr), buf_dtype),
+            pltpu.VMEM((2, rows_in, w_arr), buf_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

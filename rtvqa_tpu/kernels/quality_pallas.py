@@ -58,6 +58,9 @@ from rtvqa_tpu.kernels.vif_pallas import (
     _round_up,
     build_lane_bands,
     resolve_fast3,
+    stage_raw,
+    unify_pair,
+    vmem_values,
 )
 from rtvqa_tpu.vmaf.filters import gaussian_kernel
 from rtvqa_tpu.vmaf.motion import FILTER_5
@@ -311,8 +314,8 @@ def _fused_q_kernel(
     dma_r.wait()
     dma_d.wait()
 
-    r = rbuf[...]
-    d = dbuf[...]
+    r = vmem_values(rbuf[...])
+    d = vmem_values(dbuf[...])
     w_arr = rbuf.shape[-1]
     strip_valid = jnp.minimum(strip, h - row0)
 
@@ -416,7 +419,10 @@ def _fused_q_kernel(
 
     for dma in dmas_c:
         dma.wait()
-    cu_r, cu_d, cv_r, cv_d = (cbufs[0], cbufs[1], cbufs[2], cbufs[3])
+    cu_r, cu_d, cv_r, cv_d = (
+        vmem_values(cbufs[0]), vmem_values(cbufs[1]),
+        vmem_values(cbufs[2]), vmem_values(cbufs[3]),
+    )
     c_valid = jnp.minimum(cstrip, h2 - s * cstrip)
     sse_u = _masked_sq_sum(cu_r - cu_d, c_valid, 0, 8, w2)
     sse_v = _masked_sq_sum(cv_r - cv_d, c_valid, 0, 8, w2)
@@ -550,9 +556,12 @@ def quality_fused_pallas(
     chunk (zeros for the first; the caller masks frame 0's SAD).
 
     The kernel reads the RAW luma (no XLA pad prep — round 3e, see
-    ``_fused_q_kernel``); with ``crop=False`` the dec outputs keep their
-    block padding for the VIF scale-1 kernel to consume without crop copies
-    (pass ``h=ceil(H/2), w=ceil(W/2)`` to it).
+    ``_fused_q_kernel``); uint8 inputs are additionally bitcast to int8 and
+    rebuilt in VMEM (round 3i, ``vif_pallas.stage_raw``/``vmem_values``) —
+    no full-res ``astype(f32)`` HBM round trip and 4x less input DMA. With
+    ``crop=False`` the dec outputs keep their block padding for the VIF
+    scale-1 kernel to consume without crop copies (pass ``h=ceil(H/2),
+    w=ceil(W/2)`` to it).
 
     ``fast3`` (None = auto, ``vif_pallas.resolve_fast3``) selects the manual
     3-pass bf16 scheme for the VIF moment/decimation filter matmuls ONLY —
@@ -591,29 +600,27 @@ def quality_fused_pallas(
     pad_rows_y = max(_round_up(h, 8), rows) - h
     pad_lanes_y = _round_up(w, 128) - w
 
-    def prep_luma(x):
-        x = x.astype(jnp.float32)
-        if pad_rows_y or pad_lanes_y:
-            x = jnp.pad(x, ((0, 0), (0, pad_rows_y), (0, pad_lanes_y)),
-                        mode="edge")
-        return x
-
     h_arr = h + pad_rows_y
     w_arr = w + pad_lanes_y
 
     def prep_chroma(x):
         # Buffer col = orig col + 8 (shared lane-pool band matrix); rows
         # bottom-padded for the halo block row + sublane-aligned DMA.
-        x = x.astype(jnp.float32)
+        # uint8 inputs stay uint8 (zero pad, then int8 bitcast in stage_raw).
         h2p = n_strips * cstrip + 8
-        return jnp.pad(x, ((0, 0), (0, h2p - h2), (8, wc_buf - w2 - 8)))
+        x = jnp.pad(x, ((0, 0), (0, h2p - h2), (8, wc_buf - w2 - 8)))
+        return stage_raw(x, 0, 0)
 
-    ref_p = prep_luma(ry)
-    dis_p = prep_luma(dy)
+    ry, dy = unify_pair(ry, dy)
+    ru, du, rv, dv = unify_pair(ru, du, rv, dv)
+    ref_p = stage_raw(ry, pad_rows_y, pad_lanes_y)
+    dis_p = stage_raw(dy, pad_rows_y, pad_lanes_y)
+    luma_dtype = ref_p.dtype  # int8 for raw uint8 inputs (round 3i)
     ru_p = prep_chroma(ru)
     du_p = prep_chroma(du)
     rv_p = prep_chroma(rv)
     dv_p = prep_chroma(dv)
+    chroma_dtype = ru_p.dtype
     pblur_p = jnp.pad(
         prev_blur.astype(jnp.float32),
         ((0, h_pad - h), (0, w_arr - w)),
@@ -700,9 +707,9 @@ def quality_fused_pallas(
         in_specs=in_specs,
         out_specs=(out_spec, dec_spec, dec_spec, blur_spec),
         scratch_shapes=[
-            pltpu.VMEM((rows, w_arr), jnp.float32),         # rbuf
-            pltpu.VMEM((rows, w_arr), jnp.float32),         # dbuf
-            pltpu.VMEM((4, crows, wc_buf), jnp.float32),    # chroma bufs
+            pltpu.VMEM((rows, w_arr), luma_dtype),          # rbuf
+            pltpu.VMEM((rows, w_arr), luma_dtype),          # dbuf
+            pltpu.VMEM((4, crows, wc_buf), chroma_dtype),   # chroma bufs
             pltpu.VMEM((strip, w_arr), jnp.float32),        # pblur dma buf
             pltpu.VMEM((strip, w_arr), jnp.float32),        # blur_prev carry
             pltpu.SemaphoreType.DMA(()),

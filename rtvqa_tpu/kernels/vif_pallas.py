@@ -369,6 +369,46 @@ def _dma_row_start(row0, h_arr: int, rows: int):
     return jnp.clip((row0 - 8) // 8, 0, (h_arr - rows) // 8) * 8
 
 
+def stage_raw(x: jnp.ndarray, pad_rows: int, pad_lanes: int) -> jnp.ndarray:
+    """XLA-side staging of a raw-luma kernel input.
+
+    uint8 arrays are (edge-)padded in uint8 and BITCAST to int8 — int8 has
+    first-class (32, 128) VMEM tiling and DMAs fine at the kernels'
+    8-aligned dynamic row offsets (scripts/probe_int8_dma.py) — so the
+    full-res ``astype(f32)`` HBM round trip disappears (~2 GB written +
+    re-read per kernel per 128x1080p chunk, round 3i); the kernels rebuild
+    values in VMEM via :func:`vmem_values`. Float inputs keep the f32
+    astype(+pad) prep (chained decimated scales, CPU tests)."""
+    if x.dtype == jnp.uint8:
+        if pad_rows or pad_lanes:
+            x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, pad_lanes)),
+                        mode="edge")
+        return jax.lax.bitcast_convert_type(x, jnp.int8)
+    x = x.astype(jnp.float32)
+    if pad_rows or pad_lanes:
+        x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, pad_lanes)), mode="edge")
+    return x
+
+
+def unify_pair(*xs: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Give a kernel-input group ONE staging dtype: all-uint8 groups pass
+    through (→ the int8 raw path); mixed groups fall back to f32 — the
+    group shares VMEM scratch buffers, whose dtype must be uniform."""
+    if all(x.dtype == jnp.uint8 for x in xs):
+        return xs
+    return tuple(x.astype(jnp.float32) for x in xs)
+
+
+def vmem_values(x: jnp.ndarray) -> jnp.ndarray:
+    """VMEM buffer load -> f32 values. int8 buffers hold bitcast uint8
+    (see :func:`stage_raw`): rebuild as ``x + 256 * (x < 0)``; f32 buffers
+    pass through."""
+    if x.dtype == jnp.int8:
+        f = x.astype(jnp.float32)
+        return f + 256.0 * (f < 0)
+    return x
+
+
 def _vif_scale_kernel(
     ref_hbm, dis_hbm, *refs,
     strip: int, h: int, w: int, h_arr: int, wq2,
@@ -417,8 +457,8 @@ def _vif_scale_kernel(
     dma_r.wait()
     dma_d.wait()
 
-    r = rbuf[...]
-    d = dbuf[...]
+    r = vmem_values(rbuf[...])
+    d = vmem_values(dbuf[...])
     w_arr = rbuf.shape[-1]
 
     # --- separable moment filters ------------------------------------------
@@ -571,12 +611,10 @@ def vif_scale_pallas(
     pad_rows = max(_round_up(h_in, 8), rows) - h_in
     pad_lanes = _round_up(w_in, 128) - w_in
 
-    def prep(x):
-        x = x.astype(jnp.float32)
-        if pad_rows or pad_lanes:
-            x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, pad_lanes)),
-                        mode="edge")
-        return x
+    ref_y, dis_y = unify_pair(ref_y, dis_y)
+    ref_p = stage_raw(ref_y, pad_rows, pad_lanes)
+    dis_p = stage_raw(dis_y, pad_rows, pad_lanes)
+    buf_dtype = ref_p.dtype  # int8 for raw uint8 inputs (round 3i)
 
     h_arr = h_in + pad_rows
     w_arr = w_in + pad_lanes
@@ -592,7 +630,7 @@ def vif_scale_pallas(
         (1, strip // 2, wq2), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM
     )
 
-    inputs = [prep(ref_y), prep(dis_y)]
+    inputs = [ref_p, dis_p]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -626,8 +664,8 @@ def vif_scale_pallas(
         in_specs=in_specs,
         out_specs=(nd_spec, dec_spec, dec_spec) if taps_dec else (nd_spec,),
         scratch_shapes=[
-            pltpu.VMEM((rows, w_arr), jnp.float32),
-            pltpu.VMEM((rows, w_arr), jnp.float32),
+            pltpu.VMEM((rows, w_arr), buf_dtype),
+            pltpu.VMEM((rows, w_arr), buf_dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -110,23 +110,23 @@ def _program_b(ry, dy, vif_egl=None, adm_egl=None, fast3=None):
     r2 #1 — the XLA VIF fallback at full resolution exceeded the compile-time
     HBM budget at the Pallas-sized chunk).
     """
-    ryf = ry.astype(jnp.float32)
-    dyf = dy.astype(jnp.float32)
     out = {}
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
+        # Raw uint8 luma goes straight into the Pallas kernels (round 3i:
+        # they bitcast to int8 and rebuild values in VMEM — no full-res
+        # astype(f32) HBM round trip).
+        from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
         from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
 
         out.update(
-            vif_features_pallas(ryf, dyf, enhn_gain_limit=vif_egl, fast3=fast3)
+            vif_features_pallas(ry, dy, enhn_gain_limit=vif_egl, fast3=fast3)
         )
+        out.update(adm_features_pallas(ry, dy, enhn_gain_limit=adm_egl))
     else:
+        ryf = ry.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
         out.update(vif_features(ryf, dyf, enhn_gain_limit=vif_egl))
-    if on_tpu:
-        from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
-
-        out.update(adm_features_pallas(ryf, dyf, enhn_gain_limit=adm_egl))
-    else:
         out.update(adm_features(ryf, dyf, enhn_gain_limit=adm_egl))
     return jnp.stack([out[k].astype(jnp.float32) for k in B_KEYS])
 
@@ -199,12 +199,9 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
         hs, ws = (hs + 1) // 2, (ws + 1) // 2
         out[f"vif_scale{scale}"] = v
 
-    out.update(
-        adm_features_pallas(
-            ry.astype(jnp.float32), dy.astype(jnp.float32),
-            enhn_gain_limit=adm_egl,
-        )
-    )
+    # Raw uint8 luma (round 3i): the kernel bitcasts to int8 and rebuilds
+    # values in VMEM — no full-res astype(f32) HBM round trip.
+    out.update(adm_features_pallas(ry, dy, enhn_gain_limit=adm_egl))
     packed = jnp.stack([out[k].astype(jnp.float32) for k in CHUNK_KEYS])
     return packed, fq["blur_carry"]
 

@@ -47,10 +47,16 @@ def main():
 
     from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
 
+    # De-memoize with distinct uint8 dis variants (round 3i: the kernel's
+    # raw-int8 path requires the PRODUCTION dtype; `dy + tag` would promote
+    # the pair to f32 and probe the wrong dataflow).
+    dys = [distort(ry, 10 + k) for k in range(REPS + 2)]
+    jax.block_until_ready(dys)
+
     def make_run(stages):
-        def run(tag):
+        def run(k):
             out = quality_fused_pallas(
-                ry, ru, rv, dy + tag, du, dv, pb, stages=stages
+                ry, ru, rv, dys[k % len(dys)], du, dv, pb, stages=stages
             )
             return np.asarray(out["vif_scale0"] + out["sse_y"]
                               + out["sad_sum"])
@@ -58,19 +64,19 @@ def main():
 
     @jax.jit
     def tiny(a, tag):
-        return a[0, 0, :8] + tag
+        return a[0, 0, :8].astype(jnp.float32) + tag
 
-    runs = {"floor": lambda tag: np.asarray(tiny(ry, tag))}
+    tagv = [jnp.float32(k * 1e-6) for k in range(64)]
+    runs = {"floor": lambda k: np.asarray(tiny(ry, tagv[k % len(tagv)]))}
     runs.update({st: make_run(st) for st in (1, 2, 3, 4, 5, 6)})
-    tags = [jnp.float32(k * 1e-6) for k in range(len(runs) * (REPS + 2))]
     for idx, (st, fn) in enumerate(runs.items()):
-        fn(tags[len(runs) * REPS + idx])
+        fn(REPS + 1)
         note(f"warm {st}")
     times = {st: [] for st in runs}
     for r in range(REPS):
         for idx, (st, fn) in enumerate(runs.items()):
             t1 = time.perf_counter()
-            fn(tags[len(runs) * r + idx])
+            fn(r)
             times[st].append(time.perf_counter() - t1)
     meds = {}
     for st, vals in times.items():

@@ -68,6 +68,26 @@ def main():
 
     t_chunk = timeit("fused chunk (quality phase total)", run_chunk, blurs)
 
+    # --- round-3i A/B: raw int8 inputs vs the old astype-f32 dataflow -------
+    # chunk_old reproduces the pre-3i program exactly: the astype runs INSIDE
+    # the jitted program, so the kernels take the f32 stage_raw path.
+    from rtvqa_tpu.metrics.full_reference import _program_chunk_body
+
+    @jax.jit
+    def chunk_old(ry_, ru_, rv_, dy_, du_, dv_, blur):
+        f32 = lambda a: a.astype(jnp.float32)  # noqa: E731
+        return _program_chunk_body(
+            f32(ry_), f32(ru_), f32(rv_), f32(dy_), f32(du_), f32(dv_),
+            blur, True,
+        )
+
+    def run_chunk_old(blur):
+        packed, _ = chunk_old(ry, ru, ru, dy, ru, ru, blur)
+        np.asarray(packed)
+
+    timeit("fused chunk OLD (astype-f32 in-program)", run_chunk_old, blurs)
+    timeit("fused chunk (re-run, drift check)", run_chunk, blurs)
+
     # --- pieces -------------------------------------------------------------
     from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
 
@@ -111,7 +131,18 @@ def main():
     def run_adm(k):
         np.asarray(adm(ryf, dyf, jnp.float32(k)))
 
-    timeit("ADM all scales", run_adm, list(range(REPS + 1)))
+    timeit("ADM all scales (f32 inputs)", run_adm, list(range(REPS + 1)))
+
+    # Production dtype (round 3i): raw uint8 in, int8-bitcast DMA. Distinct
+    # dis variants de-memoize the tunnel.
+    adm8 = jax.jit(lambda r, d: adm_features_pallas(r, d)["adm2"])
+    dys = [distort(ry, k + 2) for k in range(REPS + 1)]
+    jax.block_until_ready(dys)
+
+    def run_adm8(d):
+        np.asarray(adm8(ry, d))
+
+    timeit("ADM all scales (uint8 inputs)", run_adm8, dys)
 
     print(f"[prof] chunk total {t_chunk*1000:.1f} ms; fused VIF0+A {t_fq*1000:.1f} ms")
     return 0

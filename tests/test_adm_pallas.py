@@ -91,3 +91,21 @@ def test_adm_features_pallas_neg_gain_limit(rng):
         np.asarray(adm_features(ref, enhanced, enhn_gain_limit=1.0)["adm2"])[0]
     )
     assert got == pytest.approx(exp, rel=2e-4)
+
+
+def test_adm_pallas_uint8_inputs_match_f32(rng):
+    """Raw uint8 inputs (round 3i: int8-bitcast DMA + in-VMEM value rebuild)
+    must equal the f32-input path exactly (the conversion is exact and the
+    kernel arithmetic identical)."""
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+
+    ref, dis = make_pair(rng, b=2, h=56, w=96)
+    ref8 = ref.astype(np.uint8)
+    dis8 = dis.astype(np.uint8)
+    got8 = adm_features_pallas(ref8, dis8)
+    got32 = adm_features_pallas(
+        ref8.astype(np.float32), dis8.astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got8["adm2"]), np.asarray(got32["adm2"])
+    )

@@ -156,3 +156,37 @@ def test_vif_features_pallas_identity(rng):
     got = vif_features_pallas(ref, ref)
     for k in range(4):
         np.testing.assert_allclose(np.asarray(got[f"vif_scale{k}"]), 1.0, atol=1e-5)
+
+
+def test_vif_pallas_uint8_inputs_match_f32(rng):
+    """Raw uint8 inputs (round 3i: int8-bitcast DMA + in-VMEM value rebuild)
+    must equal the f32-input path exactly — the uint8->f32 conversion is
+    exact in both placements and the kernel arithmetic is identical."""
+    from rtvqa_tpu.kernels.vif_pallas import vif_features_pallas
+
+    ref8 = rng.integers(0, 256, (2, 52, 70), dtype=np.uint8)
+    dis8 = np.clip(
+        ref8.astype(np.int16) + rng.integers(-9, 10, ref8.shape), 0, 255
+    ).astype(np.uint8)
+    got8 = vif_features_pallas(ref8, dis8)
+    got32 = vif_features_pallas(
+        ref8.astype(np.float32), dis8.astype(np.float32)
+    )
+    for k in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(got8[f"vif_scale{k}"]), np.asarray(got32[f"vif_scale{k}"])
+        )
+
+
+def test_vif_pallas_mixed_dtype_pair_falls_back(rng):
+    """uint8 ref + float dis (e.g. probe variants) must unify to the f32
+    staging path — shared VMEM scratch requires one dtype per input group."""
+    from rtvqa_tpu.kernels.vif_pallas import vif_scale0_pallas
+
+    ref8 = rng.integers(0, 256, (1, 48, 64), dtype=np.uint8)
+    disf = np.clip(
+        ref8.astype(np.float32) + rng.normal(0, 5, ref8.shape), 0, 255
+    ).astype(np.float32)
+    v_mixed, _, _ = vif_scale0_pallas(ref8, disf, interpret=True)
+    v_f32, _, _ = vif_scale0_pallas(ref8.astype(np.float32), disf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v_mixed), np.asarray(v_f32))

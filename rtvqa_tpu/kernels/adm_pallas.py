@@ -532,6 +532,15 @@ def adm_scale_pallas(
     pad_lanes = _round_up(w_in, 128) - w_in
 
     ref_y, dis_y = unify_pair(ref_y, dis_y)
+    if _round_up(w_in, 128) > 2048 and ref_y.dtype == jnp.uint8:
+        # Raw-int8 staging is gated to widths <= 2048: at 4K the in-VMEM
+        # int8->f32 value rebuilds add full-strip f32 stack copies on top
+        # of this kernel's own temporaries and overflow the 16 MB
+        # scoped-VMEM stack budget (measured 21.9 MB, 2026-08-18). f32
+        # staging (the pre-3i dataflow) compiles and validates at 4K; the
+        # astype cost at 4K is dwarfed by the kernel itself.
+        ref_y = ref_y.astype(jnp.float32)
+        dis_y = dis_y.astype(jnp.float32)
     ref_p = stage_raw(ref_y, pad_rows, pad_lanes)
     dis_p = stage_raw(dis_y, pad_rows, pad_lanes)
     buf_dtype = ref_p.dtype  # int8 for raw uint8 inputs (round 3i)

@@ -109,3 +109,20 @@ def test_adm_pallas_uint8_inputs_match_f32(rng):
     np.testing.assert_array_equal(
         np.asarray(got8["adm2"]), np.asarray(got32["adm2"])
     )
+
+
+def test_adm_pallas_uint8_wide_width_gate(rng):
+    """Widths > 2048 lanes route uint8 inputs back to f32 staging (the
+    raw-int8 in-VMEM rebuild overflows the 16 MB scoped-VMEM stack budget
+    at 4K — measured 21.9 MB). Results must still equal the f32 path."""
+    from rtvqa_tpu.kernels.adm_pallas import adm_scale_pallas
+
+    ref, dis = make_pair(rng, b=1, h=40, w=2176)
+    ref8 = ref.astype(np.uint8)
+    dis8 = dis.astype(np.uint8)
+    n8, d8, _, _ = adm_scale_pallas(ref8, dis8, 0, interpret=True)
+    n32, d32, _, _ = adm_scale_pallas(
+        ref8.astype(np.float32), dis8.astype(np.float32), 0, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(n8), np.asarray(n32))
+    np.testing.assert_array_equal(np.asarray(d8), np.asarray(d32))

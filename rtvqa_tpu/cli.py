@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
         metavar="DIR",
         help="Write a jax.profiler device trace (XProf/TensorBoard) of the run to DIR.",
     )
+    parser.add_argument(
+        "--json",
+        action="store_true",
+        help="Emit one JSON line to stdout with the metrics row (single-clip "
+        "mode) or sweep stats (--sweep mode), plus the per-stage profile "
+        "(SURVEY §5 observability: machine-readable metrics emit).",
+    )
     args = parser.parse_args(argv)
 
     setup_logging()
@@ -57,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     from rtvqa_tpu.obs.profiler import StageTimer, device_trace
 
     timer = StageTimer()
+    result = None
     try:
         with device_trace(args.trace):
             if args.sweep is not None:
@@ -75,17 +83,32 @@ def main(argv: list[str] | None = None) -> int:
                     config.data_parallel_devices or len(jax.devices()),
                 )
                 if args.sharded or n_dev > 1:
-                    run_sweep_sharded([args.input_video], config, crf_ladder=ladder)
+                    result = run_sweep_sharded(
+                        [args.input_video], config, crf_ladder=ladder
+                    )
                 else:
-                    run_sweep([args.input_video], config, crf_ladder=ladder)
+                    result = run_sweep(
+                        [args.input_video], config, crf_ladder=ladder
+                    )
             else:
                 from rtvqa_tpu.pipeline.analyzer import (
                     process_video_and_extract_metrics,
                 )
 
-                process_video_and_extract_metrics(args.input_video, config, timer=timer)
+                result = process_video_and_extract_metrics(
+                    args.input_video, config, timer=timer
+                )
         if timer.totals:
             timer.log_summary()
+        if args.json:
+            # One machine-readable line: the metrics row (or sweep stats) +
+            # the stage profile (SURVEY §5 observability emit).
+            import json
+
+            print(json.dumps(
+                {"metrics": result, "profile": timer.summary()},
+                default=float,
+            ))
         logger.info("Processing completed successfully.")
         return 0
     except Exception as e:

@@ -505,10 +505,13 @@ def adm_scale_pallas(
     # strips (9/3/2/2 cells at 1080p) was measured NEUTRAL on the v5e (131
     # vs 125 ms for 128x1080p all-scales): the kernel is not
     # per-cell-overhead-bound — don't re-derive this.
-    if w >= 3000:
-        # 4K-class widths: kernel stack temporaries scale with strip x
-        # lanes — strip 24 overflows the 16 MB scoped-VMEM stack budget
-        # (24.7 MB f32 / 21.9 MB raw-int8, measured 2026-08-18 on v5e).
+    if w > 2048:
+        # Wide frames (1440p/4K class): kernel stack temporaries scale with
+        # strip x lanes — strip 24 overflows the 16 MB scoped-VMEM stack
+        # budget (24.7 MB f32 / 21.9 MB raw-int8 at 3840 lanes, measured
+        # 2026-08-18 on v5e; ~16.5 MB extrapolated at 2560). The threshold
+        # matches the raw-int8 staging gate below so the whole >2048 band
+        # runs strip 8 + f32 staging (ADVICE r3 #1).
         strip = 8
     elif w >= 1536:
         # 24 (not 32): the raw-input kernel carries three column band

@@ -35,6 +35,7 @@ def _bilinear_matrix(dst: int, src: int) -> np.ndarray:
         hi = min(max(x0 + 1, 0), src - 1)
         m[i, lo] += 1.0 - frac
         m[i, hi] += frac
+    m.setflags(write=False)  # lru_cached: callers must not mutate (ADVICE r3)
     return m
 
 
@@ -64,7 +65,12 @@ def bilinear_sample_plan(dst: int, src: int) -> tuple[np.ndarray, np.ndarray]:
     dropped terms are exact zeros; f32 addition of 0.0 is exact)."""
     m = _bilinear_matrix(dst, src)
     idx = np.unique(np.nonzero(m)[1]).astype(np.int32)
-    return idx, np.ascontiguousarray(m[:, idx])
+    mat = np.ascontiguousarray(m[:, idx])
+    # lru_cached: freeze so a mutating caller can't corrupt later calls
+    # (ADVICE r3 #2).
+    idx.setflags(write=False)
+    mat.setflags(write=False)
+    return idx, mat
 
 
 def resize_bilinear_sampled(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

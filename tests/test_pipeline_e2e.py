@@ -104,6 +104,35 @@ def test_analyzer_emits_stage_profile(env, tmp_path, caplog):
     assert any("profile:" in r.message for r in caplog.records)
 
 
+def test_cli_json_emit(env, tmp_path, capsys):
+    """--json emits ONE machine-readable line: metrics row + stage profile
+    (SURVEY §5 observability — VERDICT r3 missing #2)."""
+    import dataclasses
+
+    from rtvqa_tpu.cli import main
+
+    cfg_path = str(tmp_path / "cfg.json")
+    cfg = dataclasses.replace(
+        load_config(env["config"]), csv_file=str(tmp_path / "j.csv")
+    )
+    json.dump(dataclasses.asdict(cfg), open(cfg_path, "w"))
+    rc = main([cfg_path, env["clip"], "--json"])
+    assert rc == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ]
+    assert len(lines) == 1, lines
+    payload = json.loads(lines[0])
+    assert set(payload) == {"metrics", "profile"}
+    m = payload["metrics"]
+    assert m["CRF"] == 28
+    assert 20.0 < m["PSNR"] < 60.0
+    assert "Advanced Motion Complexity" in m
+    prof = payload["profile"]
+    assert "encode" in prof["stages"]
+    assert prof["frames"] > 0 and prof["frames_per_sec"] > 0
+
+
 def test_cli_trace_flag_writes_profile(env, tmp_path):
     """--trace DIR produces a jax.profiler trace directory."""
     from rtvqa_tpu.cli import main

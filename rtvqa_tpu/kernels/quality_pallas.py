@@ -50,12 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rtvqa_tpu.kernels.vif_pallas import (
     _EPS,
-    _SIGMA_NSQ,
     _dma_row_start,
     _filt_lanes_ext,
     _filt_lanes_raw,
     _filt_rows_raw,
     _round_up,
+    _vif_stats_sums,
     build_lane_bands,
     resolve_fast3,
     stage_raw,
@@ -76,6 +76,35 @@ LANE_VIF_NUM, LANE_VIF_DEN = 0, 1
 LANE_SSE_Y, LANE_SSE_U, LANE_SSE_V = 2, 3, 4
 LANE_SSIM_Y, LANE_SSIM_U, LANE_SSIM_V = 5, 6, 7
 LANE_SAD = 8
+
+
+def _int_parts(x, n: int):
+    """Split an INTEGER-valued f32 array into ``n`` bf16 parts that sum to
+    ``x`` EXACTLY — valid while |x| <= 2^(8 + 9*(n-1)) (bf16 keeps 8
+    significant bits; each nearest-rounding residual is an integer 2^9x
+    smaller, and integers <= 2^8 are bf16-exact). n=2 covers uint8 products
+    (<= 255^2 < 2^16); n=3 covers their 4x4 block sums (< 2^20)."""
+    parts = []
+    rem = x
+    for _ in range(n - 1):
+        p = rem.astype(jnp.bfloat16)
+        parts.append(p)
+        rem = rem - p.astype(jnp.float32)
+    parts.append(rem.astype(jnp.bfloat16))
+    return parts
+
+
+def _dot_int_rows(band01, x, n: int):
+    """``band01 @ x`` for a 0/1 band and INTEGER-valued ``x`` as ``n``
+    native-bf16 MXU passes — bit-identical to a HIGHEST (6-pass) f32 matmul
+    for in-range integers (round 4: the x264 SSIM pooling sums are integer
+    math; 2-3 exact passes replace 6)."""
+    b = band01.astype(jnp.bfloat16)
+    out = None
+    for p in _int_parts(x, n):
+        z = jnp.dot(b, p, preferred_element_type=jnp.float32)
+        out = z if out is None else out + z
+    return out
 
 
 def _pool4_lane_band(sw: int, delta: int):
@@ -149,8 +178,24 @@ def build_pool4_bands(w_arr: int, n_tiles: int, data_off: int):
     return jnp.stack(mats), tuple(plan), sw
 
 
-def _lane_pool4_ext(x, bands_ref, plan, sw: int):
-    """4x lane pooling with PRE-BUILT bands (``build_pool4_bands``)."""
+def _lane_pool4_ext(x, bands_ref, plan, sw: int, int_exact: bool = False):
+    """4x lane pooling with PRE-BUILT bands (``build_pool4_bands``).
+
+    ``int_exact``: x holds integers < 2^20 (SSIM row-pooled uint8 sums) —
+    pool with 3 exact bf16 passes (``_int_parts``) instead of a 6-pass
+    HIGHEST matmul; bit-identical result (round 4)."""
+    if int_exact:
+        parts = _int_parts(x, 3)
+        outs = []
+        for a, k in plan:
+            b = bands_ref[k].astype(jnp.bfloat16)
+            z = None
+            for p in parts:
+                zz = jnp.dot(p[:, a : a + sw], b,
+                             preferred_element_type=jnp.float32)
+                z = zz if z is None else z + zz
+            outs.append(z)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     outs = [
         jnp.dot(x[:, a : a + sw], bands_ref[k],
                 preferred_element_type=jnp.float32,
@@ -160,7 +205,7 @@ def _lane_pool4_ext(x, bands_ref, plan, sw: int):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
-def _lane_pool4(x, n_tiles, data_off):
+def _lane_pool4(x, n_tiles, data_off, int_exact: bool = False):
     """4x lane pooling of ``x`` via tiled band matmuls; returns
     (rows, 128 * n_tiles) block sums: output lane c of tile t sums input
     lanes [data_off + 4*(128t + c), ...+4). Slices are 128-lane-aligned and
@@ -173,16 +218,26 @@ def _lane_pool4(x, n_tiles, data_off):
     sw = min(640, w_arr)
     bands = {}
     outs = []
+    parts = _int_parts(x, 3) if int_exact else None
     for t in range(n_tiles):
         a_t = min(((data_off + 512 * t) // 128) * 128, w_arr - sw)
         delta = data_off + 512 * t - a_t
         if delta not in bands:
             bands[delta] = _pool4_lane_band(sw, delta)
-        outs.append(
-            jnp.dot(x[:, a_t : a_t + sw], bands[delta],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        )
+        if int_exact:
+            b = bands[delta].astype(jnp.bfloat16)
+            z = None
+            for p in parts:
+                zz = jnp.dot(p[:, a_t : a_t + sw], b,
+                             preferred_element_type=jnp.float32)
+                z = zz if z is None else z + zz
+            outs.append(z)
+        else:
+            outs.append(
+                jnp.dot(x[:, a_t : a_t + sw], bands[delta],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            )
     return outs[0] if n_tiles == 1 else jnp.concatenate(outs, axis=1)
 
 
@@ -318,6 +373,12 @@ def _fused_q_kernel(
     d = vmem_values(dbuf[...])
     w_arr = rbuf.shape[-1]
     strip_valid = jnp.minimum(strip, h - row0)
+    # Raw uint8 values are integers <= 255 — EXACT in bf16 (round 4): their
+    # fast3 lo splits are exactly zero (skippable matmuls) and the SSIM
+    # pooling — integer math by construction — runs as 2-3 exact native-bf16
+    # passes instead of 6-pass HIGHEST f32 matmuls. Bit-identical outputs.
+    int_exact = rbuf.dtype == jnp.int8
+    c_int_exact = cbufs.dtype == jnp.int8
 
     # --- stage-bisection early exits (profiling; `stages` is static) --------
     # Constant output writes per stage so successive deltas isolate compute.
@@ -382,8 +443,10 @@ def _fused_q_kernel(
         dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
         return
 
-    # Stacked moments (shared with the VIF filters below).
-    stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
+    # Stacked moments (shared with the VIF filters below; the row-pass
+    # matmuls take the per-segment arrays directly — round 4).
+    rr_m, dd_m, rd_m = r * r, d * d, r * d
+    stacked = jnp.concatenate([r, d, rr_m, dd_m, rd_m], axis=0)
 
     # SSIM row pooling: out row o = m * 16 + br (m in 0..3, br in 0..8 used)
     # sums 4 buffer rows of the stacked segment(s) of moment m; moment 2 is
@@ -391,15 +454,25 @@ def _fused_q_kernel(
     # ro + 4*br (per-strip static in the ext-bands stack).
     nbr_y = strip // 4  # window rows per strip (block rows minus halo)
 
-    row_pooled = jnp.dot(
-        ssim_y_b[0] if plans is not None else _ssim_row_band_y(ro, rows, nbr_y),
-        stacked,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    ssim_band_y = (
+        ssim_y_b[0] if plans is not None else _ssim_row_band_y(ro, rows, nbr_y)
     )
-    if plans is not None:
-        bs_y = _lane_pool4_ext(row_pooled, pool_y_b, pool_y_plan, pool_y_sw)
+    if int_exact:
+        # stacked holds integers <= 255^2 < 2^16 -> 2 exact bf16 passes;
+        # the pooled sums are < 2^20 -> 3 passes in the lane pool.
+        row_pooled = _dot_int_rows(ssim_band_y, stacked, 2)
     else:
-        bs_y = _lane_pool4(row_pooled, n_tiles_y, 0)
+        row_pooled = jnp.dot(
+            ssim_band_y, stacked,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if plans is not None:
+        bs_y = _lane_pool4_ext(
+            row_pooled, pool_y_b, pool_y_plan, pool_y_sw, int_exact
+        )
+    else:
+        bs_y = _lane_pool4(row_pooled, n_tiles_y, 0, int_exact)
     win_y = bs_y + _roll2(bs_y, -1, 0)
     win_y = win_y + _roll2(win_y, 0, -1)
     ssim_y_sum = _ssim_from_windows(
@@ -434,15 +507,23 @@ def _fused_q_kernel(
 
     nbr_c = cstrip // 4
 
-    row_pooled_c = jnp.dot(
-        ssim_c_b[...] if plans is not None else _ssim_row_band_c(crows, nbr_c),
-        stacked_c,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    ssim_band_c = (
+        ssim_c_b[...] if plans is not None else _ssim_row_band_c(crows, nbr_c)
     )
-    if plans is not None:
-        bs_c = _lane_pool4_ext(row_pooled_c, pool_c_b, pool_c_plan, pool_c_sw)
+    if c_int_exact:
+        row_pooled_c = _dot_int_rows(ssim_band_c, stacked_c, 2)
     else:
-        bs_c = _lane_pool4(row_pooled_c, n_tiles_c, 8)
+        row_pooled_c = jnp.dot(
+            ssim_band_c, stacked_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if plans is not None:
+        bs_c = _lane_pool4_ext(
+            row_pooled_c, pool_c_b, pool_c_plan, pool_c_sw, c_int_exact
+        )
+    else:
+        bs_c = _lane_pool4(row_pooled_c, n_tiles_c, 8, c_int_exact)
     win_c = bs_c + _roll2(bs_c, -1, 0)
     win_c = win_c + _roll2(win_c, 0, -1)
     ssim_u_sum = _ssim_from_windows(
@@ -464,45 +545,15 @@ def _fused_q_kernel(
     # --- VIF scale 0 (kernels.vif_pallas dataflow, verbatim; row pass
     # FIRST — it shrinks the sublane extent before the lane pass) ------------
     mom_rows = _filt_rows_raw(
-        stacked, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
+        [r, d, rr_m, dd_m, rd_m], taps_stats, 5, strip, rows, 1,
+        row0, st, h, fast3,
+        exact_segs=(int_exact, int_exact, False, False, False),
     )
     if plans is not None:
         mom = _filt_lanes_ext(mom_rows, stats_b, stats_plan, fast3)
     else:
         mom = _filt_lanes_raw(mom_rows, taps_stats, w, w_arr // 128, 1, fast3)
-    mu1 = mom[0:strip]
-    mu2 = mom[strip : 2 * strip]
-    s11 = mom[2 * strip : 3 * strip]
-    s22 = mom[3 * strip : 4 * strip]
-    s12 = mom[4 * strip : 5 * strip]
-
-    sigma1 = jnp.maximum(s11 - mu1 * mu1, 0.0)
-    sigma2 = jnp.maximum(s22 - mu2 * mu2, 0.0)
-    sigma12 = s12 - mu1 * mu2
-
-    g = sigma12 / (sigma1 + _EPS)
-    sv = sigma2 - g * sigma12
-    small1 = sigma1 < _EPS
-    g = jnp.where(small1, 0.0, g)
-    sv = jnp.where(small1, sigma2, sv)
-    sigma1 = jnp.where(small1, 0.0, sigma1)
-    small2 = sigma2 < _EPS
-    g = jnp.where(small2, 0.0, g)
-    sv = jnp.where(small2, 0.0, sv)
-    neg = g < 0
-    sv = jnp.where(neg, sigma2, sv)
-    g = jnp.where(neg, 0.0, g)
-    sv = jnp.maximum(sv, _EPS)
-    if egl is not None:
-        g = jnp.minimum(g, float(egl))
-
-    num = jnp.log2(1.0 + g * g * sigma1 / (sv + _SIGMA_NSQ))
-    den = jnp.log2(1.0 + sigma1 / _SIGMA_NSQ)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 1)
-    vvalid = (row_ids < strip_valid) & (col_ids < w)
-    num_sum = jnp.sum(jnp.where(vvalid, num, 0.0))
-    den_sum = jnp.sum(jnp.where(vvalid, den, 0.0))
+    num_sum, den_sum = _vif_stats_sums(mom, strip, strip_valid, w, egl)
 
     if stages <= 5:
         out_ref[0, :, :] = jnp.broadcast_to(
@@ -513,10 +564,10 @@ def _fused_q_kernel(
         return
 
     # --- scale-1 pre-decimation filter + 2x decimation (both axes fused) ----
-    rd_stack = jnp.concatenate([r, d], axis=0)
     half = strip // 2
     dec_rows = _filt_rows_raw(
-        rd_stack, taps_dec, 2, half, rows, 2, row0, st, h, fast3
+        [r, d], taps_dec, 2, half, rows, 2, row0, st, h, fast3,
+        exact_segs=(int_exact, int_exact),
     )
     if plans is not None:
         dec = _filt_lanes_ext(dec_rows, dec_b, dec_plan, fast3)
@@ -673,6 +724,14 @@ def quality_fused_pallas(
             w_arr, n_tiles_y, 0)
         pool_c_bands, pool_c_plan, pool_c_sw = build_pool4_bands(
             wc_buf, n_tiles_c, 8)
+        # int-exact pooling (round 4) consumes the 0/1 bands in bf16 — cast
+        # once here so the per-cell astype is a no-op.
+        if luma_dtype == jnp.int8:
+            ssim_y_bands = ssim_y_bands.astype(jnp.bfloat16)
+            pool_y_bands = pool_y_bands.astype(jnp.bfloat16)
+        if chroma_dtype == jnp.int8:
+            ssim_c_band = ssim_c_band.astype(jnp.bfloat16)
+            pool_c_bands = pool_c_bands.astype(jnp.bfloat16)
         plans = (stats_plan, dec_plan, blur_plan,
                  pool_y_plan, pool_y_sw, pool_c_plan, pool_c_sw)
         for bnd in (stats_bands, dec_bands, blur_bands):

@@ -308,14 +308,30 @@ def _filt_lanes_raw(x, taps, w: int, n_blocks: int, stride: int = 1,
 
 def _filt_rows_raw(lane_f, taps, n_seg: int, seg_out: int, seg_in: int,
                    stride: int, row0, st, h: int,
-                   fast3: bool = FILTER_FAST3, precision=None):
+                   fast3: bool = FILTER_FAST3, precision=None,
+                   exact_segs=None):
     """Sublane-axis FIR (optionally fused with 2x row decimation) over
     RAW-layout strips as per-segment banded matmuls on the MXU.
 
     ``lane_f`` stacks ``n_seg`` equal segments of ``seg_in`` DMA'd rows
-    whose first row is raw row ``st`` (traced). Output row x of a segment
-    is the filter at raw row ``row0 + stride*x`` (taps reflected at the
-    image borders 0 / h-1). Returns (n_seg * seg_out, lanes)."""
+    whose first row is raw row ``st`` (traced) — or is a LIST of ``n_seg``
+    per-segment arrays (round 4: lets callers skip the VMEM concat copy).
+    Output row x of a segment is the filter at raw row ``row0 + stride*x``
+    (taps reflected at the image borders 0 / h-1). Returns
+    (n_seg * seg_out, lanes).
+
+    ``exact_segs`` (round 4): per-segment flag that the segment's values are
+    integers <= 2^8 — EXACTLY representable in bf16 (raw uint8 luma). For
+    such segments the fast3 lo-operand split is exactly zero, so its matmul
+    and the split itself are skipped — numerically IDENTICAL output, one
+    matmul + two VPU passes cheaper per segment.
+    """
+    if isinstance(lane_f, (list, tuple)):
+        segs = list(lane_f)
+    else:
+        segs = [lane_f[m * seg_in : (m + 1) * seg_in] for m in range(n_seg)]
+    if exact_segs is None:
+        exact_segs = (False,) * n_seg
     o_ids = jax.lax.broadcasted_iota(jnp.int32, (seg_out, seg_in), 0)
     l_ids = jax.lax.broadcasted_iota(jnp.int32, (seg_out, seg_in), 1)
     halo = len(taps) // 2
@@ -340,24 +356,29 @@ def _filt_rows_raw(lane_f, taps, n_seg: int, seg_out: int, seg_in: int,
             [mk_band(th).astype(jnp.bfloat16),
              mk_band(tl).astype(jnp.bfloat16)], axis=0
         )
-        band_h = mk_band(th).astype(jnp.bfloat16)
-        lfh, lfl = _split_bf16(lane_f)
+        band_h = None
+        if not all(exact_segs):
+            band_h = mk_band(th).astype(jnp.bfloat16)
         outs = []
-        for m in range(n_seg):
-            z = jnp.dot(band2, lfh[m * seg_in : (m + 1) * seg_in],
-                        preferred_element_type=jnp.float32)
-            zl = jnp.dot(band_h, lfl[m * seg_in : (m + 1) * seg_in],
-                         preferred_element_type=jnp.float32)
-            outs.append(z[:seg_out] + z[seg_out:] + zl)
+        for m, seg in enumerate(segs):
+            if exact_segs[m]:
+                z = jnp.dot(band2, seg.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                outs.append(z[:seg_out] + z[seg_out:])
+            else:
+                segh, segl = _split_bf16(seg)
+                z = jnp.dot(band2, segh, preferred_element_type=jnp.float32)
+                zl = jnp.dot(band_h, segl, preferred_element_type=jnp.float32)
+                outs.append(z[:seg_out] + z[seg_out:] + zl)
         return outs[0] if n_seg == 1 else jnp.concatenate(outs, axis=0)
 
     band = mk_band(taps)
     outs = [
         jnp.dot(
-            band, lane_f[m * seg_in : (m + 1) * seg_in],
+            band, seg,
             preferred_element_type=jnp.float32, precision=prec,
         )
-        for m in range(n_seg)
+        for seg in segs
     ]
     return outs[0] if n_seg == 1 else jnp.concatenate(outs, axis=0)
 
@@ -407,6 +428,51 @@ def vmem_values(x: jnp.ndarray) -> jnp.ndarray:
         f = x.astype(jnp.float32)
         return f + 256.0 * (f < 0)
     return x
+
+
+def _vif_stats_sums(mom, strip: int, strip_valid, w: int, egl=None):
+    """VIF information-fidelity statistics over a (5*strip, w_arr) stacked
+    moment block [mu1|mu2|s11|s22|s12]; returns the strip's masked
+    (num_sum, den_sum) scalars. Shared by the per-scale strip kernel, the
+    fused quality kernel and the scales-1..3 tail kernel."""
+    w_arr = mom.shape[-1]
+    mu1 = mom[0:strip]
+    mu2 = mom[strip : 2 * strip]
+    s11 = mom[2 * strip : 3 * strip]
+    s22 = mom[3 * strip : 4 * strip]
+    s12 = mom[4 * strip : 5 * strip]
+
+    sigma1 = jnp.maximum(s11 - mu1 * mu1, 0.0)
+    sigma2 = jnp.maximum(s22 - mu2 * mu2, 0.0)
+    sigma12 = s12 - mu1 * mu2
+
+    g = sigma12 / (sigma1 + _EPS)
+    sv = sigma2 - g * sigma12
+    small1 = sigma1 < _EPS
+    g = jnp.where(small1, 0.0, g)
+    sv = jnp.where(small1, sigma2, sv)
+    sigma1 = jnp.where(small1, 0.0, sigma1)
+    small2 = sigma2 < _EPS
+    g = jnp.where(small2, 0.0, g)
+    sv = jnp.where(small2, 0.0, sv)
+    neg = g < 0
+    sv = jnp.where(neg, sigma2, sv)
+    g = jnp.where(neg, 0.0, g)
+    sv = jnp.maximum(sv, _EPS)
+    if egl is not None:
+        # NEG mode (libvmaf vif_enhn_gain_limit): cap the regression gain
+        # AFTER the stability clamps, exactly as vmaf.vif._vif_scale_stats.
+        g = jnp.minimum(g, float(egl))
+
+    num = jnp.log2(1.0 + g * g * sigma1 / (sv + _SIGMA_NSQ))
+    den = jnp.log2(1.0 + sigma1 / _SIGMA_NSQ)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 1)
+    valid = (row_ids < strip_valid) & (col_ids < w)
+    num_sum = jnp.sum(jnp.where(valid, num, 0.0))
+    den_sum = jnp.sum(jnp.where(valid, den, 0.0))
+    return num_sum, den_sum
 
 
 def _vif_scale_kernel(
@@ -460,64 +526,31 @@ def _vif_scale_kernel(
     r = vmem_values(rbuf[...])
     d = vmem_values(dbuf[...])
     w_arr = rbuf.shape[-1]
+    # Raw uint8 luma values are integers <= 255 — EXACT in bf16, so their
+    # fast3 lo split is exactly zero and its matmuls are skipped (round 4;
+    # bit-identical output).
+    int_exact = rbuf.dtype == jnp.int8
 
     # --- separable moment filters ------------------------------------------
     # Lane pass: after it, lane j holds the filtered value centered at
-    # raw column j. The five moment inputs are STACKED along sublanes so
-    # the banded matmuls run once over a (5*rows, w_arr) array. Sublane
-    # pass: per-segment banded matmuls on the MXU that also restrict output
-    # to the strip's valid rows.
-    stacked = jnp.concatenate([r, d, r * r, d * d, r * d], axis=0)
+    # raw column j. The five moment inputs go in as per-segment arrays (no
+    # VMEM concat copy — round 4). Sublane pass: per-segment banded matmuls
+    # on the MXU that also restrict output to the strip's valid rows.
     # ROW pass FIRST (round 3e): it shrinks the sublane extent from the
     # DMA'd window (rows) to the strip before the lane pass runs, cutting
     # the lane pass's operand splits/copies and MXU rows by rows/strip
     # (1.5x for the moments, 3x for the decimation below).
     mom_rows = _filt_rows_raw(
-        stacked, taps_stats, 5, strip, rows, 1, row0, st, h, fast3
+        [r, d, r * r, d * d, r * d], taps_stats, 5, strip, rows, 1,
+        row0, st, h, fast3,
+        exact_segs=(int_exact, int_exact, False, False, False),
     )
     if plans is not None:
         mom = _filt_lanes_ext(mom_rows, stats_b, plans[0], fast3)
     else:
         mom = _filt_lanes_raw(mom_rows, taps_stats, w, w_arr // 128, 1, fast3)
-    mu1 = mom[0:strip]
-    mu2 = mom[strip : 2 * strip]
-    s11 = mom[2 * strip : 3 * strip]
-    s22 = mom[3 * strip : 4 * strip]
-    s12 = mom[4 * strip : 5 * strip]
-
-    sigma1 = jnp.maximum(s11 - mu1 * mu1, 0.0)
-    sigma2 = jnp.maximum(s22 - mu2 * mu2, 0.0)
-    sigma12 = s12 - mu1 * mu2
-
-    g = sigma12 / (sigma1 + _EPS)
-    sv = sigma2 - g * sigma12
-    small1 = sigma1 < _EPS
-    g = jnp.where(small1, 0.0, g)
-    sv = jnp.where(small1, sigma2, sv)
-    sigma1 = jnp.where(small1, 0.0, sigma1)
-    small2 = sigma2 < _EPS
-    g = jnp.where(small2, 0.0, g)
-    sv = jnp.where(small2, 0.0, sv)
-    neg = g < 0
-    sv = jnp.where(neg, sigma2, sv)
-    g = jnp.where(neg, 0.0, g)
-    sv = jnp.maximum(sv, _EPS)
-    if egl is not None:
-        # NEG mode (libvmaf vif_enhn_gain_limit, e.g. vmaf_v0.6.1neg): cap
-        # the regression gain AFTER the stability clamps, exactly as
-        # vmaf.vif._vif_scale_stats does — keeps NEG models on the fused
-        # Pallas path (ADVICE r2 #1).
-        g = jnp.minimum(g, float(egl))
-
-    num = jnp.log2(1.0 + g * g * sigma1 / (sv + _SIGMA_NSQ))
-    den = jnp.log2(1.0 + sigma1 / _SIGMA_NSQ)
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w_arr), 1)
     strip_valid = jnp.minimum(strip, h - row0)  # ragged last strip
-    valid = (row_ids < strip_valid) & (col_ids < w)
-    num_sum = jnp.sum(jnp.where(valid, num, 0.0))
-    den_sum = jnp.sum(jnp.where(valid, den, 0.0))
+    num_sum, den_sum = _vif_stats_sums(mom, strip, strip_valid, w, egl)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     packed = jnp.where(lane == 0, num_sum, jnp.where(lane == 1, den_sum, 0.0))
     out_nd_ref[0, s, :] = packed[0]
@@ -529,10 +562,10 @@ def _vif_scale_kernel(
     # (stride=2 bands); the sublane pass fuses the row filter with the 2x
     # row decimation: decimated output row rr reads raw rows
     # [2*(s*half + rr) - halo_dec, ...] of the same DMA'd window.
-    rd_stack = jnp.concatenate([r, d], axis=0)
     half = strip // 2
     dec_rows = _filt_rows_raw(
-        rd_stack, taps_dec, 2, half, rows, 2, row0, st, h, fast3
+        [r, d], taps_dec, 2, half, rows, 2, row0, st, h, fast3,
+        exact_segs=(int_exact, int_exact),
     )
     if plans is not None:
         dec = _filt_lanes_ext(dec_rows, dec_b, plans[1], fast3)
@@ -681,6 +714,216 @@ def vif_scale_pallas(
     if crop:
         return vif, outs[1][:, :hd, :wd], outs[2][:, :hd, :wd]
     return vif, outs[1], outs[2]
+
+
+def _vif_tail_kernel(
+    ref_hbm, dis_hbm, *refs,
+    h1: int, w1: int, h1_arr: int, w1_arr: int,
+    chunk: int, n_chunks: int, egl, f3_1: bool, plans,
+):
+    """Grid (B,): VIF scales 1-3 for ONE frame per cell — the whole scale-1
+    frame (already 9-tap-filtered + decimated by the scale-0 kernel) lives
+    in VMEM; scales 2 and 3 chain in-register with no HBM round trips.
+
+    Scale 1's moment/dec filters run in ``n_chunks`` static row chunks of
+    ``chunk`` output rows (bounds the live temporaries: a whole-frame
+    5-moment stack at 1024 lanes is ~11 MB — over the scoped-VMEM budget);
+    scales 2 and 3 are small enough to run in one piece. ``plans`` carries
+    the five pre-built lane-band stacks' static plans (stats1, dec1, stats2,
+    dec2, stats3 — ``build_lane_bands``).
+
+    Replaces three strip kernels (1920 grid cells at 128x1080p) with 128
+    per-frame cells and kills the scale-2/3 input HBM round trips (round 4,
+    VERDICT r3 next #1). Capability parity:
+    /root/reference/video_processing.py:280-282 (libvmaf VIF features).
+    """
+    (stats1_b, dec1_b, stats2_b, dec2_b, stats3_b,
+     out_ref, rbuf, dbuf, r2_buf, d2_buf, sem_r, sem_d) = refs
+    (stats1_p, dec1_p, stats2_p, dec2_p, stats3_p) = plans
+    i = pl.program_id(0)
+
+    dma_r = pltpu.make_async_copy(ref_hbm.at[i], rbuf, sem_r)
+    dma_d = pltpu.make_async_copy(dis_hbm.at[i], dbuf, sem_d)
+    dma_r.start()
+    dma_d.start()
+    dma_r.wait()
+    dma_d.wait()
+
+    taps_s1 = tuple(float(v) for v in gaussian_kernel(9, 9 / 5.0))
+    taps_d1 = tuple(float(v) for v in gaussian_kernel(5, 5 / 5.0))
+    taps_s2 = taps_d1
+    taps_d2 = tuple(float(v) for v in gaussian_kernel(3, 3 / 5.0))
+    taps_s3 = taps_d2
+
+    # --- scale 1: chunked moments + stats + dec into the scale-2 scratch ---
+    num1 = den1 = jnp.float32(0.0)
+    win_rows = chunk + 16
+    half = chunk // 2
+    for c in range(n_chunks):
+        row0 = c * chunk
+        st = min(max(row0 - 8, 0), h1_arr - win_rows)
+        st = (st // 8) * 8
+        wr = rbuf[st : st + win_rows]
+        wd = dbuf[st : st + win_rows]
+        mom_rows = _filt_rows_raw(
+            [wr, wd, wr * wr, wd * wd, wr * wd], taps_s1, 5, chunk,
+            win_rows, 1, row0, st, h1, f3_1,
+        )
+        mom = _filt_lanes_ext(mom_rows, stats1_b, stats1_p, f3_1)
+        sv = min(chunk, max(h1 - row0, 0))
+        ns, ds = _vif_stats_sums(mom, chunk, sv, w1, egl)
+        num1 = num1 + ns
+        den1 = den1 + ds
+
+        dec_rows = _filt_rows_raw(
+            [wr, wd], taps_d1, 2, half, win_rows, 2, row0, st, h1, f3_1
+        )
+        dec = _filt_lanes_ext(dec_rows, dec1_b, dec1_p, f3_1)
+        r2_buf[c * half : (c + 1) * half, :] = dec[0:half]
+        d2_buf[c * half : (c + 1) * half, :] = dec[half : 2 * half]
+
+    # --- scale 2 (exact mode: fast3 is gated to scales <= 1) ----------------
+    h2, w2 = (h1 + 1) // 2, (w1 + 1) // 2
+    h2_arr = r2_buf.shape[0]
+    r2 = r2_buf[...]
+    d2 = d2_buf[...]
+    mom_rows2 = _filt_rows_raw(
+        [r2, d2, r2 * r2, d2 * d2, r2 * d2], taps_s2, 5, h2_arr, h2_arr, 1,
+        0, 0, h2, False,
+    )
+    mom2 = _filt_lanes_ext(mom_rows2, stats2_b, stats2_p, False)
+    num2, den2 = _vif_stats_sums(mom2, h2_arr, h2, w2, egl)
+
+    h3, w3 = (h2 + 1) // 2, (w2 + 1) // 2
+    h3_arr = _round_up((h2_arr + 1) // 2, 8)
+    dec2_rows = _filt_rows_raw(
+        [r2, d2], taps_d2, 2, h3_arr, h2_arr, 2, 0, 0, h2, False
+    )
+    dec2 = _filt_lanes_ext(dec2_rows, dec2_b, dec2_p, False)
+    r3 = dec2[0:h3_arr]
+    d3 = dec2[h3_arr : 2 * h3_arr]
+
+    # --- scale 3 -------------------------------------------------------------
+    mom_rows3 = _filt_rows_raw(
+        [r3, d3, r3 * r3, d3 * d3, r3 * d3], taps_s3, 5, h3_arr, h3_arr, 1,
+        0, 0, h3, False,
+    )
+    mom3 = _filt_lanes_ext(mom_rows3, stats3_b, stats3_p, False)
+    num3, den3 = _vif_stats_sums(mom3, h3_arr, h3, w3, egl)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    packed = jnp.zeros((1, 128), jnp.float32)
+    for ln, val in enumerate((num1, den1, num2, den2, num3, den3)):
+        packed = jnp.where(lane == ln, val, packed)
+    out_ref[0, :, :] = jnp.broadcast_to(packed, (8, 128))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("egl", "interpret", "fast3", "h", "w"),
+)
+def vif_tail_pallas(
+    dec_ref: jnp.ndarray, dec_dis: jnp.ndarray, egl=None,
+    interpret: bool = False, fast3=None,
+    h: int | None = None, w: int | None = None,
+):
+    """VIF scales 1-3 over the scale-0 kernel's decimated outputs, as ONE
+    per-frame Pallas kernel (``_vif_tail_kernel``).
+
+    ``dec_ref``/``dec_dis``: (B, H1p, W1p) float32 — scale-1 inputs, possibly
+    block-padded (``quality_fused_pallas(..., crop=False)``); ``h``/``w``
+    give the VALID scale-1 dims (default: the array dims). Returns
+    ``{"vif_scale1": (B,), "vif_scale2": ..., "vif_scale3": ...}`` matching
+    the chained ``vif_scale_pallas`` calls (same filters, same fast3 gating:
+    scale 1 fast3-eligible, scales 2-3 exact).
+
+    Sized for scale-1 widths <= ~1024 lanes (1080p-class input): the whole
+    scale-1 frame pair plus the scale-2 scratch must fit VMEM. Callers route
+    wider inputs to the per-scale chain.
+    """
+    b, h1_in, w1_in = dec_ref.shape
+    h1 = h1_in if h is None else h
+    w1 = w1_in if w is None else w
+    f3_1 = resolve_fast3(fast3)  # scale-1 is fast3-eligible (scale <= 1)
+
+    chunk = 64
+    while chunk > 16 and chunk - h1 >= chunk // 2:
+        chunk //= 2  # short frames: don't run mostly-masked chunks
+        # (floor 16: the dec scratch writes are chunk/2-row slices, which
+        # must stay sublane-aligned — multiples of 8)
+    n_chunks = -(-h1 // chunk)
+
+    # Row/lane padding so the chunk windows + DMA contract hold.
+    pad_rows = max(_round_up(h1_in, 8), chunk + 16) - h1_in
+    pad_lanes = _round_up(w1_in, 128) - w1_in
+    ref_p = stage_raw(dec_ref.astype(jnp.float32), pad_rows, pad_lanes)
+    dis_p = stage_raw(dec_dis.astype(jnp.float32), pad_rows, pad_lanes)
+    h1_arr = h1_in + pad_rows
+    w1_arr = w1_in + pad_lanes
+
+    h2, w2 = (h1 + 1) // 2, (w1 + 1) // 2
+    w2_arr = 128 * (-(-w2 // 128))
+    h2_arr = n_chunks * (chunk // 2)
+    w3 = (w2 + 1) // 2
+    w3_arr = 128 * (-(-w3 // 128))
+
+    taps_s1 = tuple(float(v) for v in gaussian_kernel(9, 9 / 5.0))
+    taps_d1 = tuple(float(v) for v in gaussian_kernel(5, 5 / 5.0))
+    taps_d2 = tuple(float(v) for v in gaussian_kernel(3, 3 / 5.0))
+
+    stats1_b, stats1_p = build_lane_bands(
+        taps_s1, w1, w1_arr, w1_arr // 128, 1, f3_1)
+    dec1_b, dec1_p = build_lane_bands(
+        taps_d1, w1, w1_arr, w2_arr // 128, 2, f3_1)
+    stats2_b, stats2_p = build_lane_bands(
+        taps_d1, w2, w2_arr, w2_arr // 128, 1, False)
+    dec2_b, dec2_p = build_lane_bands(
+        taps_d2, w2, w2_arr, w3_arr // 128, 2, False)
+    stats3_b, stats3_p = build_lane_bands(
+        taps_d2, w3, w3_arr, w3_arr // 128, 1, False)
+    plans = (stats1_p, dec1_p, stats2_p, dec2_p, stats3_p)
+
+    band_ins = [stats1_b, dec1_b, stats2_b, dec2_b, stats3_b]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ] + [
+        pl.BlockSpec(bnd.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        for bnd in band_ins
+    ]
+
+    out_shape = jax.ShapeDtypeStruct((b, 8, 128), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _vif_tail_kernel, h1=h1, w1=w1, h1_arr=h1_arr, w1_arr=w1_arr,
+            chunk=chunk, n_chunks=n_chunks, egl=egl, f3_1=f3_1, plans=plans,
+        ),
+        out_shape=out_shape,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((h1_arr, w1_arr), jnp.float32),
+            pltpu.VMEM((h1_arr, w1_arr), jnp.float32),
+            pltpu.VMEM((h2_arr, w2_arr), jnp.float32),
+            pltpu.VMEM((h2_arr, w2_arr), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(ref_p, dis_p, *band_ins)
+
+    packed = out[:, 0, :]
+    res = {}
+    for scale, ln in ((1, 0), (2, 2), (3, 4)):
+        res[f"vif_scale{scale}"] = packed[:, ln] / jnp.maximum(
+            packed[:, ln + 1], _EPS
+        )
+    return res
 
 
 def vif_scale0_pallas(ref_y: jnp.ndarray, dis_y: jnp.ndarray, interpret: bool = False):

@@ -31,6 +31,7 @@ by the chunk size regardless of clip length.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -138,16 +139,23 @@ def _to_psnr(mse):
     return jnp.where(mse > 0.0, finite, jnp.inf)
 
 
+# VIF scales 1-3 implementation inside the fused TPU chunk: "tail" (default;
+# one per-frame kernel, round 4) or "chain" (the round-3 per-scale strip
+# kernels) — env-switchable for on-device A/B.
+_VIF_TAIL_MODE = os.environ.get("RTVQA_VIF_TAIL", "tail")
+
+
 def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
                      vif_egl, adm_egl, fast3=None):
     """TPU body of ``_program_chunk``: program A (PSNR/SSIM/motion) rides
     INSIDE the fused VIF scale-0 Pallas kernel (kernels.quality_pallas —
     round 3; program A as a standalone XLA program cost 0.10 s of the 0.37 s
-    quality phase, VERDICT r2 next #2), VIF scales 1-3 chain from its
-    decimated outputs, ADM runs as the fused Pallas kernels."""
+    quality phase, VERDICT r2 next #2), VIF scales 1-3 run as ONE per-frame
+    tail kernel on its decimated outputs (round 4), ADM runs as the fused
+    Pallas kernels."""
     from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
     from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
-    from rtvqa_tpu.kernels.vif_pallas import vif_scale_pallas
+    from rtvqa_tpu.kernels.vif_pallas import vif_scale_pallas, vif_tail_pallas
 
     if ry.shape[-1] > 2048:
         # 4K-class widths exceed the fused kernel's 16 MB VMEM budget even at
@@ -188,16 +196,27 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     out["motion_sad"] = sad.at[0].set(jnp.where(has_prev, sad[0], 0.0))
 
     out["vif_scale0"] = fq["vif_scale0"]
-    # Chain the VIF scales on the kernels' block-padded dec outputs (valid
-    # dims as statics) — no crop copies between scales (round 3e).
-    ref, dis = fq["dec_ref"], fq["dec_dis"]
     hs, ws = (h + 1) // 2, (w + 1) // 2
-    for scale in (1, 2, 3):
-        v, ref, dis = vif_scale_pallas(
-            ref, dis, scale, egl=vif_egl, fast3=fast3, h=hs, w=ws, crop=False
-        )
-        hs, ws = (hs + 1) // 2, (ws + 1) // 2
-        out[f"vif_scale{scale}"] = v
+    if _VIF_TAIL_MODE != "chain":
+        # Round 4 (VERDICT r3 next #1): scales 1-3 as ONE per-frame kernel
+        # on the block-padded dec outputs — 128 grid cells instead of ~1900
+        # strip cells across three kernels, and no scale-2/3 input HBM
+        # round trips. RTVQA_VIF_TAIL=chain restores the per-scale chain.
+        out.update(vif_tail_pallas(
+            fq["dec_ref"], fq["dec_dis"], egl=vif_egl, fast3=fast3,
+            h=hs, w=ws,
+        ))
+    else:
+        # Chain the VIF scales on the kernels' block-padded dec outputs
+        # (valid dims as statics) — no crop copies between scales (round 3e).
+        ref, dis = fq["dec_ref"], fq["dec_dis"]
+        for scale in (1, 2, 3):
+            v, ref, dis = vif_scale_pallas(
+                ref, dis, scale, egl=vif_egl, fast3=fast3, h=hs, w=ws,
+                crop=False,
+            )
+            hs, ws = (hs + 1) // 2, (ws + 1) // 2
+            out[f"vif_scale{scale}"] = v
 
     # Raw uint8 luma (round 3i): the kernel bitcasts to int8 and rebuilds
     # values in VMEM — no full-res astype(f32) HBM round trip.

@@ -80,6 +80,29 @@ def test_fused_quality_kernel_matches_xla(rng, h, w):
     )
 
 
+def test_int_exact_pooling_bit_equal_to_highest(rng):
+    """Round 4: uint8 inputs take the int-exact pooling path (2-3 native-bf16
+    passes); f32-staged inputs take the 6-pass HIGHEST path. The SSIM sums
+    are integer math — the two must agree BIT-FOR-BIT."""
+    from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+
+    ry, ru, rv, dy, du, dv = make_yuv(rng, b=2, h=56, w=70)
+    prev_blur = np.zeros((56, 70), np.float32)
+    got_int = quality_fused_pallas(
+        ry, ru, rv, dy, du, dv, prev_blur, interpret=True
+    )
+    got_f32 = quality_fused_pallas(
+        ry.astype(np.float32), ru.astype(np.float32), rv.astype(np.float32),
+        dy.astype(np.float32), du.astype(np.float32), dv.astype(np.float32),
+        prev_blur, interpret=True,
+    )
+    for key in ("ssim_y_sum", "ssim_u_sum", "ssim_v_sum", "sse_y", "sse_u",
+                "sse_v"):
+        np.testing.assert_array_equal(
+            np.asarray(got_int[key]), np.asarray(got_f32[key]), err_msg=key
+        )
+
+
 def test_fused_quality_kernel_identity(rng):
     from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
 

@@ -43,6 +43,73 @@ def test_vif_features_pallas_all_scales(rng):
         )
 
 
+@pytest.mark.parametrize("h,w", [(64, 96), (56, 70), (130, 170)])
+def test_vif_tail_kernel_matches_chain(rng, h, w):
+    """Round 4: the per-frame scales-1..3 tail kernel must match the chained
+    per-scale strip kernels (same filters, same fast3 gating) AND the XLA
+    oracle, including ragged/odd dims and block-padded inputs."""
+    from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+    from rtvqa_tpu.kernels.vif_pallas import vif_scale_pallas, vif_tail_pallas
+
+    ref, dis = make_pair(rng, b=2, h=h, w=w)
+    expected = vif_features(ref, dis)
+
+    # Block-padded inputs straight from the fused scale-0 kernel (crop=False),
+    # exactly as _chunk_fused_tpu chains them.
+    ry = ref.astype(np.uint8)
+    dy = dis.astype(np.uint8)
+    expected_u8 = vif_features(
+        ry.astype(np.float32), dy.astype(np.float32)
+    )
+    h2, w2 = h // 2, w // 2
+    ru = rng.integers(0, 256, (2, h2, w2), np.uint8)
+    fq = quality_fused_pallas(
+        ry, ru, ru, dy, ru, ru, np.zeros((h, w), np.float32),
+        interpret=True, crop=False, fast3=False,
+    )
+    hs, ws = (h + 1) // 2, (w + 1) // 2
+    got = vif_tail_pallas(
+        fq["dec_ref"], fq["dec_dis"], interpret=True, fast3=False,
+        h=hs, w=ws,
+    )
+    # Chained per-scale kernels on the same inputs — near-identical math
+    # (matmul association may differ at f32 ULP level).
+    r_c, d_c = fq["dec_ref"], fq["dec_dis"]
+    chain = {}
+    hh, www = hs, ws
+    for scale in (1, 2, 3):
+        v, r_c, d_c = vif_scale_pallas(
+            r_c, d_c, scale, interpret=True, fast3=False, h=hh, w=www,
+            crop=False,
+        )
+        hh, www = (hh + 1) // 2, (www + 1) // 2
+        chain[f"vif_scale{scale}"] = v
+    for k in (1, 2, 3):
+        key = f"vif_scale{k}"
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(chain[key]), rtol=1e-5,
+            err_msg=f"{key} tail vs chain",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(expected_u8[key]), rtol=3e-4,
+            err_msg=f"{key} tail vs oracle",
+        )
+
+
+def test_vif_tail_kernel_fast3_tracks_exact(rng):
+    from rtvqa_tpu.kernels.vif_pallas import vif_scale0_pallas, vif_tail_pallas
+
+    ref, dis = make_pair(rng, b=1, h=64, w=96)
+    _, dec_r, dec_d = vif_scale0_pallas(ref, dis, interpret=True)
+    exact = vif_tail_pallas(dec_r, dec_d, interpret=True, fast3=False)
+    fast = vif_tail_pallas(dec_r, dec_d, interpret=True, fast3=True)
+    for k in (1, 2, 3):
+        np.testing.assert_allclose(
+            np.asarray(fast[f"vif_scale{k}"]),
+            np.asarray(exact[f"vif_scale{k}"]), rtol=6e-4,
+        )
+
+
 @pytest.mark.parametrize("h,w", [(56, 70), (53, 71), (40, 64)])
 def test_vif0_kernel_ragged_height(rng, h, w):
     """H % 16 != 0 (the 1080p case: 1080 % 16 == 8) and odd dims."""

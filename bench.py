@@ -52,6 +52,7 @@ REPS = 2
 N_CPU = 2        # frames for the CPU baseline (extrapolated)
 BUDGET_S = float(os.environ.get("RTVQA_BENCH_BUDGET_S", "520"))
 LASTGOOD = os.path.expanduser("~/.cache/rtvqa_bench/lastgood.json")
+SECONDARY = os.path.expanduser("~/.cache/rtvqa_bench/secondary.json")
 METRIC = "1080p_full_suite_frames_per_sec_per_chip"
 
 
@@ -260,6 +261,7 @@ def phase_4k() -> int:
     print(f"[bench] 4K full-suite: {fps:.1f} f/s/chip "
           f"(quality {qual_spf*1000:.1f} ms/frame + complexity "
           f"{comp_spf*1000:.1f} ms/frame)", flush=True)
+    _record_secondary("4k_full_suite_frames_per_sec_per_chip", fps)
     print(json.dumps({
         "metric": "4k_full_suite_frames_per_sec_per_chip",
         "value": round(fps, 3), "unit": "frames/sec/chip",
@@ -559,6 +561,29 @@ def run_validate(out_path: str) -> int:
         check(f"fusedA/vif0_fast3/{label}", np.asarray(fq3["vif_scale0"]),
               vx["vif_scale0"], 5e-4)
 
+        # VIF scales 1-3 tail kernel (round 4) on the fused kernel's
+        # block-padded dec outputs — the production chunk composition.
+        from rtvqa_tpu.kernels.vif_pallas import vif_tail_pallas
+
+        fq_nc = quality_fused_pallas(
+            ryq, ru, ru, dyq, du, du, pb, fast3=False, crop=False
+        )
+        hs, ws = (h + 1) // 2, (w + 1) // 2
+        tail = vif_tail_pallas(
+            fq_nc["dec_ref"], fq_nc["dec_dis"], fast3=False, h=hs, w=ws
+        )
+        for k in (1, 2, 3):
+            check(f"vif_tail/scale{k}/{label}",
+                  np.asarray(tail[f"vif_scale{k}"]),
+                  vx[f"vif_scale{k}"], 2e-5)
+        tail3 = vif_tail_pallas(
+            fq_nc["dec_ref"], fq_nc["dec_dis"], fast3=True, h=hs, w=ws
+        )
+        for k in (1, 2, 3):
+            check(f"vif_tail_fast3/scale{k}/{label}",
+                  np.asarray(tail3[f"vif_scale{k}"]),
+                  vx[f"vif_scale{k}"], 5e-4)
+
     artifact = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
@@ -620,6 +645,40 @@ def _stream_child(phase: str, deadline: float, phases: dict) -> int:
     return proc.returncode if proc.returncode is not None else -9
 
 
+def _record_secondary(metric: str, value: float) -> None:
+    """Persist a secondary metric (4K / e2e phases) so the next headline run
+    can attach it to the driver-visible JSON line (VERDICT r3 next #8 — the
+    4K and e2e numbers used to live only in BASELINE.md prose)."""
+    try:
+        os.makedirs(os.path.dirname(SECONDARY), exist_ok=True)
+        try:
+            with open(SECONDARY) as f:
+                rec = json.load(f)
+        except Exception:
+            rec = {}
+        rec[metric] = {"value": round(value, 3), "measured_at": time.time()}
+        with open(SECONDARY, "w") as f:
+            json.dump(rec, f)
+    except Exception:
+        pass
+
+
+def _load_secondary() -> dict:
+    """Secondary metrics with age stamps (hours) for the headline JSON."""
+    try:
+        with open(SECONDARY) as f:
+            rec = json.load(f)
+    except Exception:
+        return {}
+    out = {}
+    for metric, entry in rec.items():
+        out[metric] = {
+            "value": entry["value"],
+            "age_hours": round((time.time() - entry["measured_at"]) / 3600, 1),
+        }
+    return out
+
+
 def _load_lastgood() -> dict:
     try:
         with open(LASTGOOD) as f:
@@ -675,6 +734,9 @@ def main():
                               "value": 0.0, "unit": "frames/sec/chip",
                               "vs_baseline": 0.0, "error": "e2e phase did not finish"}))
             return 1
+        _record_secondary(
+            "1080p_e2e_decode_included_frames_per_sec_per_chip", 1.0 / spf
+        )
         print(json.dumps({
             "metric": "1080p_e2e_decode_included_frames_per_sec_per_chip",
             "value": round(1.0 / spf, 3),
@@ -723,7 +785,9 @@ def main():
         return 1
 
     if len(measured) == 2:
-        _save_lastgood({k: phases[k] for k in measured})
+        _save_lastgood(
+            {**{k: phases[k] for k in measured}, "_saved_at": time.time()}
+        )
 
     total_dt = vals["complexity"] + vals["quality"]  # serialized, as in production
     device_fps = N_DEVICE / total_dt
@@ -739,6 +803,21 @@ def main():
     if len(measured) < 2:
         out["partial"] = True
         out["phase_sources"] = sources
+        if measured:
+            # VERDICT r3 weak #6: a headline combining a freshly measured
+            # phase with a last-good one mixes sessions whose device
+            # throughput differs by up to ~25% — flag it loudly.
+            out["cross_session_mix"] = True
+            if "_saved_at" in lastgood:
+                out["last_good_age_hours"] = round(
+                    (time.time() - lastgood["_saved_at"]) / 3600, 1
+                )
+    secondary = _load_secondary()
+    if secondary:
+        # 4K / e2e phase results from their own runs (bench.py --phase 4k /
+        # --e2e), attached with age stamps so cross-session provenance is
+        # explicit (VERDICT r3 next #8 + weak #6).
+        out["secondary"] = secondary
     print(json.dumps(out))
     return 0
 

@@ -719,7 +719,7 @@ def vif_scale_pallas(
 def _vif_tail_kernel(
     ref_hbm, dis_hbm, *refs,
     h1: int, w1: int, h1_arr: int, w1_arr: int,
-    chunk: int, n_chunks: int, egl, f3_1: bool, plans,
+    chunk: tuple, egl, f3_1: bool, plans,
 ):
     """Grid (B,): VIF scales 1-3 for ONE frame per cell — the whole scale-1
     frame (already 9-tap-filtered + decimated by the scale-0 kernel) lives
@@ -738,7 +738,8 @@ def _vif_tail_kernel(
     /root/reference/video_processing.py:280-282 (libvmaf VIF features).
     """
     (stats1_b, dec1_b, stats2_b, dec2_b, stats3_b,
-     out_ref, rbuf, dbuf, r2_buf, d2_buf, sem_r, sem_d) = refs
+     out_ref, rbuf, dbuf, r2_buf, d2_buf, r3_buf, d3_buf,
+     sem_r, sem_d) = refs
     (stats1_p, dec1_p, stats2_p, dec2_p, stats3_p) = plans
     i = pl.program_id(0)
 
@@ -751,65 +752,61 @@ def _vif_tail_kernel(
 
     taps_s1 = tuple(float(v) for v in gaussian_kernel(9, 9 / 5.0))
     taps_d1 = tuple(float(v) for v in gaussian_kernel(5, 5 / 5.0))
-    taps_s2 = taps_d1
     taps_d2 = tuple(float(v) for v in gaussian_kernel(3, 3 / 5.0))
-    taps_s3 = taps_d2
 
-    # --- scale 1: chunked moments + stats + dec into the scale-2 scratch ---
-    num1 = den1 = jnp.float32(0.0)
-    win_rows = chunk + 16
-    half = chunk // 2
-    for c in range(n_chunks):
-        row0 = c * chunk
-        st = min(max(row0 - 8, 0), h1_arr - win_rows)
-        st = (st // 8) * 8
-        wr = rbuf[st : st + win_rows]
-        wd = dbuf[st : st + win_rows]
-        mom_rows = _filt_rows_raw(
-            [wr, wd, wr * wr, wd * wd, wr * wd], taps_s1, 5, chunk,
-            win_rows, 1, row0, st, h1, f3_1,
-        )
-        mom = _filt_lanes_ext(mom_rows, stats1_b, stats1_p, f3_1)
-        sv = min(chunk, max(h1 - row0, 0))
-        ns, ds = _vif_stats_sums(mom, chunk, sv, w1, egl)
-        num1 = num1 + ns
-        den1 = den1 + ds
+    def scale_pass(src_r, src_d, taps_s, taps_d, stats_bp, dec_bp,
+                   h_s, w_s, ch, n_ch, f3, dst_r, dst_d):
+        """One VIF scale over VMEM-resident inputs, in static row chunks
+        (chunking caps the live moment temporaries — the whole-frame stack
+        at 1024 lanes overflowed the 16 MB scoped-VMEM budget by ~3 MB):
+        accumulates the scale's (num, den) and writes the next scale's
+        decimated inputs into ``dst_r``/``dst_d``."""
+        src_rows = src_r.shape[0]
+        win = min(ch + 16, src_rows)
+        half_ch = ch // 2
+        num = den = jnp.float32(0.0)
+        for c in range(n_ch):
+            row0 = c * ch
+            st = min(max(row0 - 8, 0), src_rows - win)
+            st = (st // 8) * 8
+            wr = src_r[st : st + win]
+            wd = src_d[st : st + win]
+            mom_rows = _filt_rows_raw(
+                [wr, wd, wr * wr, wd * wd, wr * wd], taps_s, 5, ch,
+                win, 1, row0, st, h_s, f3,
+            )
+            mom = _filt_lanes_ext(mom_rows, stats_bp[0], stats_bp[1], f3)
+            sv = min(ch, max(h_s - row0, 0))
+            ns, ds = _vif_stats_sums(mom, ch, sv, w_s, egl)
+            num = num + ns
+            den = den + ds
+            if taps_d is None:
+                continue
+            dec_rows = _filt_rows_raw(
+                [wr, wd], taps_d, 2, half_ch, win, 2, row0, st, h_s, f3
+            )
+            dec = _filt_lanes_ext(dec_rows, dec_bp[0], dec_bp[1], f3)
+            dst_r[c * half_ch : (c + 1) * half_ch, :] = dec[0:half_ch]
+            dst_d[c * half_ch : (c + 1) * half_ch, :] = dec[half_ch:]
+        return num, den
 
-        dec_rows = _filt_rows_raw(
-            [wr, wd], taps_d1, 2, half, win_rows, 2, row0, st, h1, f3_1
-        )
-        dec = _filt_lanes_ext(dec_rows, dec1_b, dec1_p, f3_1)
-        r2_buf[c * half : (c + 1) * half, :] = dec[0:half]
-        d2_buf[c * half : (c + 1) * half, :] = dec[half : 2 * half]
-
-    # --- scale 2 (exact mode: fast3 is gated to scales <= 1) ----------------
+    ch1, n1, ch2, n2, ch3, n3 = chunk
     h2, w2 = (h1 + 1) // 2, (w1 + 1) // 2
-    h2_arr = r2_buf.shape[0]
-    r2 = r2_buf[...]
-    d2 = d2_buf[...]
-    mom_rows2 = _filt_rows_raw(
-        [r2, d2, r2 * r2, d2 * d2, r2 * d2], taps_s2, 5, h2_arr, h2_arr, 1,
-        0, 0, h2, False,
-    )
-    mom2 = _filt_lanes_ext(mom_rows2, stats2_b, stats2_p, False)
-    num2, den2 = _vif_stats_sums(mom2, h2_arr, h2, w2, egl)
-
     h3, w3 = (h2 + 1) // 2, (w2 + 1) // 2
-    h3_arr = _round_up((h2_arr + 1) // 2, 8)
-    dec2_rows = _filt_rows_raw(
-        [r2, d2], taps_d2, 2, h3_arr, h2_arr, 2, 0, 0, h2, False
-    )
-    dec2 = _filt_lanes_ext(dec2_rows, dec2_b, dec2_p, False)
-    r3 = dec2[0:h3_arr]
-    d3 = dec2[h3_arr : 2 * h3_arr]
 
-    # --- scale 3 -------------------------------------------------------------
-    mom_rows3 = _filt_rows_raw(
-        [r3, d3, r3 * r3, d3 * d3, r3 * d3], taps_s3, 5, h3_arr, h3_arr, 1,
-        0, 0, h3, False,
+    num1, den1 = scale_pass(
+        rbuf, dbuf, taps_s1, taps_d1, (stats1_b, stats1_p),
+        (dec1_b, dec1_p), h1, w1, ch1, n1, f3_1, r2_buf, d2_buf,
     )
-    mom3 = _filt_lanes_ext(mom_rows3, stats3_b, stats3_p, False)
-    num3, den3 = _vif_stats_sums(mom3, h3_arr, h3, w3, egl)
+    # Scales 2-3 run exact (fast3 is gated to scales <= 1).
+    num2, den2 = scale_pass(
+        r2_buf, d2_buf, taps_d1, taps_d2, (stats2_b, stats2_p),
+        (dec2_b, dec2_p), h2, w2, ch2, n2, False, r3_buf, d3_buf,
+    )
+    num3, den3 = scale_pass(
+        r3_buf, d3_buf, taps_d2, None, (stats3_b, stats3_p),
+        (None, None), h3, w3, ch3, n3, False, None, None,
+    )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     packed = jnp.zeros((1, 128), jnp.float32)
@@ -846,15 +843,17 @@ def vif_tail_pallas(
     w1 = w1_in if w is None else w
     f3_1 = resolve_fast3(fast3)  # scale-1 is fast3-eligible (scale <= 1)
 
-    chunk = 64
-    while chunk > 16 and chunk - h1 >= chunk // 2:
-        chunk //= 2  # short frames: don't run mostly-masked chunks
-        # (floor 16: the dec scratch writes are chunk/2-row slices, which
-        # must stay sublane-aligned — multiples of 8)
-    n_chunks = -(-h1 // chunk)
+    def plan_chunks(h_valid: int) -> tuple[int, int]:
+        """Rows per chunk (multiple of 16: the dec writes are ch/2-row
+        sublane-aligned slices) and chunk count for one scale."""
+        ch = 64
+        while ch > 16 and ch - h_valid >= ch // 2:
+            ch //= 2  # short frames: don't run mostly-masked chunks
+        return ch, -(-h_valid // ch)
 
+    ch1, n1 = plan_chunks(h1)
     # Row/lane padding so the chunk windows + DMA contract hold.
-    pad_rows = max(_round_up(h1_in, 8), chunk + 16) - h1_in
+    pad_rows = max(_round_up(h1_in, 8), ch1 + 16) - h1_in
     pad_lanes = _round_up(w1_in, 128) - w1_in
     ref_p = stage_raw(dec_ref.astype(jnp.float32), pad_rows, pad_lanes)
     dis_p = stage_raw(dec_dis.astype(jnp.float32), pad_rows, pad_lanes)
@@ -863,9 +862,13 @@ def vif_tail_pallas(
 
     h2, w2 = (h1 + 1) // 2, (w1 + 1) // 2
     w2_arr = 128 * (-(-w2 // 128))
-    h2_arr = n_chunks * (chunk // 2)
-    w3 = (w2 + 1) // 2
+    h2_arr = n1 * (ch1 // 2)
+    ch2, n2 = plan_chunks(h2)
+    h3, w3 = (h2 + 1) // 2, (w2 + 1) // 2
     w3_arr = 128 * (-(-w3 // 128))
+    h3_arr = n2 * (ch2 // 2)
+    ch3, n3 = plan_chunks(h3)
+    chunks = (ch1, n1, ch2, n2, ch3, n3)
 
     taps_s1 = tuple(float(v) for v in gaussian_kernel(9, 9 / 5.0))
     taps_d1 = tuple(float(v) for v in gaussian_kernel(5, 5 / 5.0))
@@ -900,7 +903,7 @@ def vif_tail_pallas(
     out = pl.pallas_call(
         functools.partial(
             _vif_tail_kernel, h1=h1, w1=w1, h1_arr=h1_arr, w1_arr=w1_arr,
-            chunk=chunk, n_chunks=n_chunks, egl=egl, f3_1=f3_1, plans=plans,
+            chunk=chunks, egl=egl, f3_1=f3_1, plans=plans,
         ),
         out_shape=out_shape,
         grid=(b,),
@@ -911,6 +914,8 @@ def vif_tail_pallas(
             pltpu.VMEM((h1_arr, w1_arr), jnp.float32),
             pltpu.VMEM((h2_arr, w2_arr), jnp.float32),
             pltpu.VMEM((h2_arr, w2_arr), jnp.float32),
+            pltpu.VMEM((h3_arr, w3_arr), jnp.float32),
+            pltpu.VMEM((h3_arr, w3_arr), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

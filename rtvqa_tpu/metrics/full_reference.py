@@ -146,7 +146,7 @@ _VIF_TAIL_MODE = os.environ.get("RTVQA_VIF_TAIL", "tail")
 
 
 def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
-                     vif_egl, adm_egl, fast3=None):
+                     vif_egl, adm_egl, fast3=None, vif_tail=None):
     """TPU body of ``_program_chunk``: program A (PSNR/SSIM/motion) rides
     INSIDE the fused VIF scale-0 Pallas kernel (kernels.quality_pallas —
     round 3; program A as a standalone XLA program cost 0.10 s of the 0.37 s
@@ -197,7 +197,9 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
 
     out["vif_scale0"] = fq["vif_scale0"]
     hs, ws = (h + 1) // 2, (w + 1) // 2
-    if _VIF_TAIL_MODE != "chain":
+    if vif_tail is None:
+        vif_tail = _VIF_TAIL_MODE != "chain"
+    if vif_tail:
         # Round 4 (VERDICT r3 next #1): scales 1-3 as ONE per-frame kernel
         # on the block-padded dec outputs — 128 grid cells instead of ~1900
         # strip cells across three kernels, and no scale-2/3 input HBM

@@ -41,17 +41,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def block_match_motion(
+def block_match_field(
     prev_gray: jnp.ndarray,
     curr_gray: jnp.ndarray,
     block: int = 16,
     radius: int = 8,
-) -> jnp.ndarray:
-    """Mean block displacement magnitude per pair: (..., H, W) -> (...,).
-
-    H, W are cropped down to multiples of ``block`` (cv2's Farneback also
-    effectively ignores sub-block remainders at the border).
-    """
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exhaustive block-matching displacement FIELD: (..., H, W) ->
+    ((..., nby, nbx) dy, (..., nbx) dx) float32 — first (raster-order)
+    minimum wins. Shared by the mean-magnitude metric and the two-level
+    pyramid's coarse pass."""
     h, w = curr_gray.shape[-2], curr_gray.shape[-1]
     hb, wb = (h // block) * block, (w // block) * block
     curr = curr_gray[..., :hb, :wb].astype(jnp.float32)
@@ -91,9 +90,24 @@ def block_match_motion(
         best_dx = jnp.where(better, fdx, best_dx)
         return (best_sad, best_dy, best_dx), None
 
-    (best_sad, best_dy, best_dx), _ = jax.lax.scan(
+    (_, best_dy, best_dx), _ = jax.lax.scan(
         step, (big, zero, zero), candidates
     )
+    return best_dy, best_dx
+
+
+def block_match_motion(
+    prev_gray: jnp.ndarray,
+    curr_gray: jnp.ndarray,
+    block: int = 16,
+    radius: int = 8,
+) -> jnp.ndarray:
+    """Mean block displacement magnitude per pair: (..., H, W) -> (...,).
+
+    H, W are cropped down to multiples of ``block`` (cv2's Farneback also
+    effectively ignores sub-block remainders at the border).
+    """
+    best_dy, best_dx = block_match_field(prev_gray, curr_gray, block, radius)
     mag = jnp.sqrt(best_dy * best_dy + best_dx * best_dx)
     return jnp.mean(mag, axis=(-2, -1))
 
@@ -186,6 +200,75 @@ def block_match_motion_pyramid_series(
             gh[:-1], gh[1:], block=bp, radius=rp, interpret=interpret
         )
     return 2.0 * block_match_motion(gh[:-1], gh[1:], block=bp, radius=rp)
+
+
+def block_match_motion_pyramid2_series(
+    gray_series: jnp.ndarray,
+    block: int = 16,
+    radius: int = 8,
+) -> jnp.ndarray:
+    """TWO-level pyramid motion (VERDICT r3 next #3 experiment): quarter-res
+    exhaustive coarse search + half-res ±1 refinement around the per-block
+    coarse vector. (N, H, W) -> (N-1,).
+
+    The reference Farneback defaults to a 3-level pyramid
+    (``complexity_metrics.py:336-340``); this is its 2-coarse-level analog:
+    coarse covers the same ±radius full-res span at 1/16 the pixels x 25
+    candidates, refinement restores half-res (even full-res) displacement
+    quantization — the same quantization as the production single-level
+    pyramid. The refinement prev-image is built by a 25-way masked select of
+    coarse-shifted slices (TPU-friendly: no gathers, static shapes).
+
+    **Measured dead end — NOT production** (round 4): on both textured and
+    smooth-periodic content, a half-quarter-pixel true shift makes the
+    quarter-res SAD landscape ambiguous, the tiny (block/4)^2 coarse blocks
+    argmin essentially at random within ±rq, and ±1 refinement cannot
+    recover from a wrong coarse vector — the metric drifts ~1.7x from truth
+    where the single-level pyramid is EXACT
+    (tests/test_complexity_ops.py::test_pyramid2_documented_failure_mode).
+    The value drift disqualifies the scheme before any perf measurement.
+    Kept as the committed record of the experiment.
+    """
+    bp = max(block // 2, 1)
+    rp = max(radius // 2, 1)
+    bq = max(bp // 2, 1)
+    rq = max(rp // 2, 1)
+    gh = down2_mean(gray_series)          # half res
+    gq = down2_mean(gh)                   # quarter res
+
+    cdy, cdx = block_match_field(gq[:-1], gq[1:], block=bq, radius=rq)
+
+    # Crop half-res to the block grid the quarter field describes.
+    nby, nbx = cdy.shape[-2], cdy.shape[-1]
+    hb, wb = nby * bp, nbx * bp
+    prev_h = gh[:-1, :hb, :wb]
+    curr_h = gh[1:, :hb, :wb]
+
+    # Selected prev: each block shifted by its coarse vector (x2 on the
+    # half-res grid), built as a 25-way masked sum of uniformly shifted
+    # slices — no data-dependent gathers.
+    pad_r = 2 * rq + 1  # max |2c| + refinement halo 1
+    prev_p = jnp.pad(
+        prev_h, ((0, 0), (pad_r, pad_r), (pad_r, pad_r)), mode="edge"
+    )
+    acc = jnp.zeros_like(prev_h)
+    for cy in range(-rq, rq + 1):
+        for cx in range(-rq, rq + 1):
+            m = (cdy == cy) & (cdx == cx)                 # (N-1, nby, nbx)
+            mpix = jnp.broadcast_to(
+                m[:, :, None, :, None],
+                (m.shape[0], nby, bp, nbx, bp),
+            ).reshape(m.shape[0], hb, wb)
+            sl = jax.lax.dynamic_slice(
+                prev_p, (0, pad_r + 2 * cy, pad_r + 2 * cx), prev_h.shape
+            )
+            acc = acc + jnp.where(mpix, sl, 0.0)
+
+    ody, odx = block_match_field(acc, curr_h, block=bp, radius=1)
+    fdy = 2.0 * cdy + ody
+    fdx = 2.0 * cdx + odx
+    mag = jnp.sqrt(fdy * fdy + fdx * fdx)
+    return 2.0 * jnp.mean(mag, axis=(-2, -1))
 
 
 def fps_variation(timestamps_ms: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -181,6 +181,57 @@ def test_pyramid_recovers_even_shift(rng):
     assert got == pytest.approx(np.hypot(4, 6), rel=0.35)  # borders dilute
 
 
+def test_pyramid2_static_scene(rng):
+    f = rng.integers(0, 256, (3, 96, 128)).astype(np.float32)
+    series = np.repeat(f[:1], 3, axis=0)
+    got = np.asarray(jmotion.block_match_motion_pyramid2_series(series))
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_pyramid2_recovers_multiple_of_4_shift(rng):
+    """A multiple-of-4 shift lands exactly on the quarter-res grid; the
+    half-res refinement contributes 0 — the two-level pyramid recovers it."""
+    base = rng.integers(0, 256, (96, 128)).astype(np.float32)
+    curr = np.roll(np.roll(base, 4, axis=0), 8, axis=1)
+    series = np.stack([base, curr])
+    got = float(np.asarray(
+        jmotion.block_match_motion_pyramid2_series(series, block=16, radius=8)
+    )[0])
+    assert got == pytest.approx(np.hypot(4, 8), rel=0.35)  # borders dilute
+
+
+def test_pyramid2_documented_failure_mode(rng):
+    """WHY pyramid2 is NOT the production default (VERDICT r3 next #3
+    experiment, documented dead end): a 2-px full-res shift is exactly 1
+    half-res px — the single-level pyramid finds the zero-SAD displacement
+    and reports exactly 2.0. At QUARTER res the same shift is half a pixel:
+    the pooled SAD landscape is ambiguous on both textured AND smooth
+    periodic content, the 4x4-quarter-px coarse blocks argmin essentially at
+    random within ±rq, and the ±1 half-res refinement cannot recover from a
+    wrong coarse vector — the metric drifts far from truth. Perf was never
+    measured: the value drift disqualifies the scheme first
+    (docs/PARITY.md §motion)."""
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    smooth = (
+        120 + 60 * np.sin(2 * np.pi * xx / 40.0)
+        + 40 * np.cos(2 * np.pi * (xx + yy) / 56.0)
+    ).astype(np.float32)
+    texture = rng.integers(0, 256, (96, 128)).astype(np.float32)
+    for base in (smooth, texture):
+        curr = np.roll(base, 2, axis=1)  # = exactly 1 half-res px
+        one_level = float(np.asarray(
+            jmotion.block_match_motion_pyramid(base[None], curr[None])
+        )[0])
+        assert one_level == pytest.approx(2.0, rel=1e-6)  # exact at half res
+        two_level = float(np.asarray(
+            jmotion.block_match_motion_pyramid2_series(np.stack([base, curr]))
+        )[0])
+        assert abs(two_level - 2.0) > 0.5, (
+            "pyramid2 unexpectedly accurate — re-evaluate the dead-end "
+            "verdict"
+        )
+
+
 def test_down2_mean_bitwise_forms(rng):
     # The pyramid argmin breaks ties by value, so the production
     # reduce_window form must stay BITWISE equal to the reshape-reduce form

@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -658,24 +659,334 @@ def adm_scale0_pallas(
     return adm_scale_pallas(ref_y, dis_y, 0, egl=egl, interpret=interpret)
 
 
-def adm_features_pallas(
-    ref_y: jnp.ndarray, dis_y: jnp.ndarray, enhn_gain_limit=None
-) -> dict[str, jnp.ndarray]:
-    """adm2 with every DWT level as the fused Pallas kernel (the XLA levels
-    materialize ~20 HBM intermediates each even at quarter size). Matches
-    ``vmaf.adm.adm_features``. Chained scales pass their block-padded
-    approximation bands forward uncropped (valid dims as statics) — no
-    inter-scale crop copies."""
-    interpret = jax.default_backend() == "cpu"
+# ADM scales 1-3 implementation: "tail" (one per-frame kernel, round 4 —
+# mirrors kernels.vif_pallas.vif_tail_pallas) or "chain" (the per-scale strip
+# kernels) — env-switchable for on-device A/B.
+_ADM_TAIL_MODE = os.environ.get("RTVQA_ADM_TAIL", "tail")
+
+
+def _tail_row_band(g0: int, st: int, ch: int, win: int, h_s: int, h2_s: int):
+    """LO-over-HI stacked db2 row-filter + row-decimation band for one tail
+    chunk — the static-offset peer of ``_adm0_kernel``'s in-cell band: output
+    row r is subband row g = g0 + r - 1 (r=0 / r=ch+1 are the spread halo),
+    edge-replicated on the subband grid and reflected at the image borders,
+    taps addressed relative to the VMEM window starting at raw row ``st``."""
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (ch + 2, win), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (ch + 2, win), 1)
+    g_eff = jnp.clip(g0 + r_ids - 1, 0, h2_s - 1)
+
+    def band(taps):
+        m = None
+        for t, wgt in enumerate(taps):
+            rr = 2 * g_eff + t - 2
+            rr = jnp.abs(rr)
+            rr = jnp.where(rr >= h_s, 2 * (h_s - 1) - rr, rr)
+            term = jnp.where(l_ids == rr - st, float(wgt), 0.0)
+            m = term if m is None else m + term
+        return m
+
+    return jnp.concatenate([band(LO), band(HI)], axis=0)
+
+
+def _adm_tail_kernel(
+    ref_hbm, dis_hbm, *refs, dims: tuple, egl, plans: tuple,
+):
+    """Grid (B,): ADM scales 1-3 for ONE frame per cell — the whole scale-1
+    approximation pair (written block-padded by the scale-0 kernel) lives in
+    VMEM; scales 2 and 3 chain through VMEM scratch with no HBM round trips.
+
+    Each scale runs in static row chunks of ``ch`` subband rows (bounding the
+    live decouple/masking temporaries); per chunk the dataflow is exactly
+    ``_adm0_kernel`` stages 2-6: stacked db2 row matmul, banded column
+    filter + lane decimation (pre-built bands via ``build_adm_col_bands``),
+    decoupling, the 3x3 masking spread, and the center-crop-masked L3
+    pooling partial sums, accumulated across chunks into per-band scalars.
+
+    Replaces three strip kernels (~1150 grid cells at 128x1080p) and their
+    inter-scale approximation-band HBM round trips (round 4; the same
+    restructuring won ~19 ms for VIF scales 1-3). Capability parity:
+    /root/reference/video_processing.py:280-282 (libvmaf ADM feature).
+    """
+    (colb1, colb2, colb3, out_ref,
+     rbuf, dbuf, r2_buf, d2_buf, r3_buf, d3_buf, sem_r, sem_d) = refs
+    i = pl.program_id(0)
+
+    dma_r = pltpu.make_async_copy(ref_hbm.at[i], rbuf, sem_r)
+    dma_d = pltpu.make_async_copy(dis_hbm.at[i], dbuf, sem_d)
+    dma_r.start()
+    dma_d.start()
+    dma_r.wait()
+    dma_d.wait()
+
+    def scale_pass(src_r, src_d, colb, col_plan, h_s, w_s, ch, n_ch,
+                   fh, fd, dst_r, dst_d):
+        """One ADM scale over VMEM-resident inputs in static row chunks;
+        returns the scale's six pooling partials (nh, dh, nv, dv, nd, dd)
+        and writes the approximation bands into ``dst_r``/``dst_d``."""
+        h2_s, w2_s = (h_s + 1) // 2, (w_s + 1) // 2
+        src_rows = src_r.shape[0]
+        win = min(2 * ch + 16, src_rows)
+        plan = [(a_j, sw, False) for a_j, sw, _k in col_plan]
+        bands = [colb[k] for _a, _sw, k in col_plan]
+        wq2_s = 128 * len(plan)
+        ys, xs = _center_crop_slices(h2_s, w2_s)
+        top, left = ys.start, xs.start
+        acc = [jnp.float32(0.0)] * 6
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (ch + 2, wq2_s), 1)
+        g_rows = jax.lax.broadcasted_iota(jnp.int32, (ch, wq2_s), 0)
+        g_lanes = jax.lax.broadcasted_iota(jnp.int32, (ch, wq2_s), 1)
+
+        for c in range(n_ch):
+            g0 = c * ch
+            st = min(max((2 * g0 - 4) // 8, 0), (src_rows - win) // 8) * 8
+            m_both = _tail_row_band(g0, st, ch, win, h_s, h2_s)
+
+            def rows_fused(x):
+                both = jnp.dot(
+                    m_both, x, preferred_element_type=jnp.float32,
+                    precision=FILTER_PRECISION,
+                )
+                return both[: ch + 2], both[ch + 2 :]
+
+            lo_r, hi_r = rows_fused(src_r[st : st + win])
+            lo_d, hi_d = rows_fused(src_d[st : st + win])
+            oa, oh = _lane_filt_decim(lo_r, bands, plan)
+            ov, od = _lane_filt_decim(hi_r, bands, plan)
+            ta, th = _lane_filt_decim(lo_d, bands, plan)
+            tv, td = _lane_filt_decim(hi_d, bands, plan)
+
+            # Decoupling (vmaf.adm._decouple semantics, NEG cap in-kernel).
+            eps = 1e-30
+            ot_dp = oh * th + ov * tv
+            angle_ok = (ot_dp >= 0.0) & (
+                ot_dp * ot_dp
+                >= _COS_1DEG_SQ * (oh * oh + ov * ov) * (th * th + tv * tv)
+            )
+
+            def restore(o, t):
+                ratio = t / (o + jnp.where(o >= 0, eps, -eps))
+                k = jnp.clip(ratio, 0.0, 1.0)
+                rst = k * o
+                if egl is None:
+                    return jnp.where(angle_ok, t, rst)
+                k_neg = jnp.clip(ratio, 0.0, float(egl))
+                return jnp.where(angle_ok, k_neg * o, rst)
+
+            rh, rv, rd = restore(oh, th), restore(ov, tv), restore(od, td)
+            spread_in = (
+                jnp.abs((th - rh) * fh) + jnp.abs((tv - rv) * fh)
+                + jnp.abs((td - rd) * fd)
+            )
+
+            # 3x3 masking spread, lane edge replication at the image border.
+            left_n = jnp.where(
+                lane_ids == 0, spread_in, pltpu.roll(spread_in, 1, axis=1)
+            )
+            right_n = jnp.where(
+                lane_ids == w2_s - 1, spread_in,
+                pltpu.roll(spread_in, wq2_s - 1, axis=1),
+            )
+            rowsum = left_n + spread_in + right_n
+            thr = (
+                rowsum[0:ch] + rowsum[1 : ch + 1] + rowsum[2 : ch + 2]
+                + spread_in[1 : ch + 1]
+            ) / 30.0
+
+            valid = (
+                (g_rows + g0 >= top) & (g_rows + g0 < h2_s - top)
+                & (g_lanes >= left) & (g_lanes < w2_s - left)
+            )
+
+            def pool(rst, orig, f):
+                rst_c = rst[1 : ch + 1]
+                orig_c = orig[1 : ch + 1]
+                masked = jnp.maximum(jnp.abs(rst_c * f) - thr, 0.0)
+                num = jnp.sum(jnp.where(valid, masked * masked * masked, 0.0))
+                oa_ = jnp.abs(orig_c * f)
+                den = jnp.sum(jnp.where(valid, oa_ * oa_ * oa_, 0.0))
+                return num, den
+
+            for idx, (rst, orig, f) in enumerate(
+                ((rh, oh, fh), (rv, ov, fh), (rd, od, fd))
+            ):
+                n_c, d_c = pool(rst, orig, f)
+                acc[2 * idx] = acc[2 * idx] + n_c
+                acc[2 * idx + 1] = acc[2 * idx + 1] + d_c
+
+            if dst_r is not None:
+                dst_r[c * ch : (c + 1) * ch, :] = oa[1 : ch + 1]
+                dst_d[c * ch : (c + 1) * ch, :] = ta[1 : ch + 1]
+        return acc
+
+    (h1, w1, ch1, n1), (h2s, w2s, ch2, n2), (h3s, w3s, ch3, n3) = dims
+    (col_p1, col_p2, col_p3) = plans
+    fh1, _, fd1 = csf_rfactors(1)
+    fh2, _, fd2 = csf_rfactors(2)
+    fh3, _, fd3 = csf_rfactors(3)
+
+    acc1 = scale_pass(rbuf, dbuf, colb1, col_p1, h1, w1, ch1, n1,
+                      float(fh1), float(fd1), r2_buf, d2_buf)
+    acc2 = scale_pass(r2_buf, d2_buf, colb2, col_p2, h2s, w2s, ch2, n2,
+                      float(fh2), float(fd2), r3_buf, d3_buf)
+    acc3 = scale_pass(r3_buf, d3_buf, colb3, col_p3, h3s, w3s, ch3, n3,
+                      float(fh3), float(fd3), None, None)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    packed = jnp.zeros((1, 128), jnp.float32)
+    for ln, val in enumerate(acc1 + acc2 + acc3):
+        packed = jnp.where(lane == ln, val, packed)
+    out_ref[0, :, :] = jnp.broadcast_to(packed, (8, 128))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("egl", "interpret", "h", "w")
+)
+def adm_tail_pallas(
+    a_ref: jnp.ndarray, a_dis: jnp.ndarray, egl=None,
+    interpret: bool = False, h: int | None = None, w: int | None = None,
+):
+    """ADM scales 1-3 over the scale-0 kernel's approximation bands, as ONE
+    per-frame Pallas kernel (``_adm_tail_kernel``).
+
+    ``a_ref``/``a_dis``: (B, H1p, W1p) float32 scale-1 inputs, possibly
+    block-padded (``adm_scale_pallas(..., crop=False)``); ``h``/``w`` give
+    the VALID scale-1 dims. Returns ``{"num": (B,), "den": (B,)}`` — the
+    summed scale-1..3 pooling contributions INCLUDING the per-band cbrt
+    offsets, exactly matching three chained ``adm_scale_pallas`` calls.
+
+    Sized for scale-1 widths <= ~1024 lanes and ~600 rows (1080p-class):
+    the whole scale-1 frame pair plus the scale-2/3 scratch must fit VMEM.
+    Callers route bigger inputs to the per-scale chain.
+    """
+    b, h1_in, w1_in = a_ref.shape
+    h1 = h1_in if h is None else h
+    w1 = w1_in if w is None else w
+
+    def plan_chunks(h2_s: int, src_rows: int) -> tuple[int, int]:
+        """Subband rows per chunk (multiple of 8 — approx writes are ch-row
+        sublane slices) and chunk count; the DMA-style window 2*ch + 16 must
+        fit the source buffer rows."""
+        ch = 64
+        while ch > 8 and (2 * ch + 16 > src_rows or ch - h2_s >= ch // 2):
+            ch //= 2
+        return ch, -(-h2_s // ch)
+
+    # Row/lane padding so the chunk windows stay inside the buffers.
+    pad_rows = max(_round_up(h1_in, 8), 32) - h1_in
+    pad_lanes = _round_up(w1_in, 128) - w1_in
+    ref_p = stage_raw(a_ref.astype(jnp.float32), pad_rows, pad_lanes)
+    dis_p = stage_raw(a_dis.astype(jnp.float32), pad_rows, pad_lanes)
+    rows1 = h1_in + pad_rows
+    warr1 = w1_in + pad_lanes
+
+    h2, w2 = (h1 + 1) // 2, (w1 + 1) // 2
+    wq2_1 = 128 * (-(-w2 // 128))
+    ch1, n1 = plan_chunks(h2, rows1)
+    rows2 = n1 * ch1
+    h3, w3 = (h2 + 1) // 2, (w2 + 1) // 2
+    wq2_2 = 128 * (-(-w3 // 128))
+    ch2, n2 = plan_chunks(h3, rows2)
+    rows3 = n2 * ch2
+    h4, w4 = (h3 + 1) // 2, (w3 + 1) // 2
+    wq2_3 = 128 * (-(-w4 // 128))
+    ch3, n3 = plan_chunks(h4, rows3)
+
+    colb1, col_p1 = build_adm_col_bands(w1, warr1, wq2_1)
+    colb2, col_p2 = build_adm_col_bands(w2, wq2_1, wq2_2)
+    colb3, col_p3 = build_adm_col_bands(w3, wq2_2, wq2_3)
+    dims = ((h1, w1, ch1, n1), (h2, w2, ch2, n2), (h3, w3, ch3, n3))
+
+    band_ins = [colb1, colb2, colb3]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ] + [
+        pl.BlockSpec(bnd.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        for bnd in band_ins
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _adm_tail_kernel, dims=dims, egl=egl,
+            plans=(col_p1, col_p2, col_p3),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows1, warr1), jnp.float32),
+            pltpu.VMEM((rows1, warr1), jnp.float32),
+            pltpu.VMEM((rows2, wq2_1), jnp.float32),
+            pltpu.VMEM((rows2, wq2_1), jnp.float32),
+            pltpu.VMEM((rows3, wq2_2), jnp.float32),
+            pltpu.VMEM((rows3, wq2_2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(ref_p, dis_p, *band_ins)
+
+    packed = out[:, 0, :]
+    third = 1.0 / 3.0
     num = den = 0.0
-    o, t = ref_y, dis_y
-    h, w = int(ref_y.shape[-2]), int(ref_y.shape[-1])
-    for scale in range(4):
-        n_s, d_s, o, t = adm_scale_pallas(
-            o, t, scale, egl=enhn_gain_limit, interpret=interpret,
-            h=h, w=w, crop=False,
+    for scale, (hs, ws) in ((1, (h2, w2)), (2, (h3, w3)), (3, (h4, w4))):
+        ys, xs = _center_crop_slices(hs, ws)
+        area = (ys.stop - ys.start) * (xs.stop - xs.start)
+        offset = (area / 32.0) ** third
+        base = 6 * (scale - 1)
+        num = num + (
+            packed[:, base] ** third + packed[:, base + 2] ** third
+            + packed[:, base + 4] ** third + 3.0 * offset
         )
-        h, w = (h + 1) // 2, (w + 1) // 2
-        num = num + n_s
-        den = den + d_s
+        den = den + (
+            packed[:, base + 1] ** third + packed[:, base + 3] ** third
+            + packed[:, base + 5] ** third + 3.0 * offset
+        )
+    return {"num": num, "den": den}
+
+
+def adm_features_pallas(
+    ref_y: jnp.ndarray, dis_y: jnp.ndarray, enhn_gain_limit=None, tail=None
+) -> dict[str, jnp.ndarray]:
+    """adm2 with every DWT level as a fused Pallas kernel (the XLA levels
+    materialize ~20 HBM intermediates each even at quarter size). Matches
+    ``vmaf.adm.adm_features``.
+
+    Scale 0 is the strip kernel; scales 1-3 run as ONE per-frame tail kernel
+    (``adm_tail_pallas``, round 4) when the scale-1 frame pair fits its VMEM
+    staging (1080p-class), else as the chained per-scale strip kernels with
+    block-padded approximation bands passed forward uncropped (no
+    inter-scale crop copies). ``tail`` forces the choice (None = auto;
+    RTVQA_ADM_TAIL=chain disables for on-device A/B)."""
+    interpret = jax.default_backend() == "cpu"
+    h, w = int(ref_y.shape[-2]), int(ref_y.shape[-1])
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    if tail is None:
+        # Whole-frame scale-1 staging: 2 x (rows x lanes) f32 in VMEM.
+        stage_mb = _round_up(h2, 64) * _round_up(w2, 128) * 8 / 1e6
+        tail = _ADM_TAIL_MODE != "chain" and stage_mb <= 5.0
+
+    num, den, o, t = adm_scale_pallas(
+        ref_y, dis_y, 0, egl=enhn_gain_limit, interpret=interpret,
+        h=h, w=w, crop=False,
+    )
+    if tail:
+        tl = adm_tail_pallas(
+            o, t, egl=enhn_gain_limit, interpret=interpret, h=h2, w=w2
+        )
+        num = num + tl["num"]
+        den = den + tl["den"]
+    else:
+        hs, ws = h2, w2
+        for scale in (1, 2, 3):
+            n_s, d_s, o, t = adm_scale_pallas(
+                o, t, scale, egl=enhn_gain_limit, interpret=interpret,
+                h=hs, w=ws, crop=False,
+            )
+            hs, ws = (hs + 1) // 2, (ws + 1) // 2
+            num = num + n_s
+            den = den + d_s
     return {"adm2": adm_finalize(num, den, ref_y.shape)}

@@ -146,7 +146,8 @@ _VIF_TAIL_MODE = os.environ.get("RTVQA_VIF_TAIL", "tail")
 
 
 def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
-                     vif_egl, adm_egl, fast3=None, vif_tail=None):
+                     vif_egl, adm_egl, fast3=None, vif_tail=None,
+                     adm_tail=None):
     """TPU body of ``_program_chunk``: program A (PSNR/SSIM/motion) rides
     INSIDE the fused VIF scale-0 Pallas kernel (kernels.quality_pallas —
     round 3; program A as a standalone XLA program cost 0.10 s of the 0.37 s
@@ -222,7 +223,8 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
 
     # Raw uint8 luma (round 3i): the kernel bitcasts to int8 and rebuilds
     # values in VMEM — no full-res astype(f32) HBM round trip.
-    out.update(adm_features_pallas(ry, dy, enhn_gain_limit=adm_egl))
+    out.update(adm_features_pallas(ry, dy, enhn_gain_limit=adm_egl,
+                                   tail=adm_tail))
     packed = jnp.stack([out[k].astype(jnp.float32) for k in CHUNK_KEYS])
     return packed, fq["blur_carry"]
 

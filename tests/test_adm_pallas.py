@@ -93,6 +93,47 @@ def test_adm_features_pallas_neg_gain_limit(rng):
     assert got == pytest.approx(exp, rel=2e-4)
 
 
+def test_adm_tail_matches_chain(rng):
+    """The per-frame scales-1..3 tail kernel (round 4) must agree with the
+    chained per-scale strip kernels AND the XLA oracle."""
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+
+    ref, dis = make_pair(rng, b=2, h=96, w=128)
+    got_tail = float(np.asarray(adm_features_pallas(ref, dis, tail=True)["adm2"])[0])
+    got_chain = float(np.asarray(adm_features_pallas(ref, dis, tail=False)["adm2"])[0])
+    exp = float(np.asarray(adm_features(ref, dis)["adm2"])[0])
+    assert got_tail == pytest.approx(exp, rel=2e-4)
+    assert got_tail == pytest.approx(got_chain, rel=1e-5)
+
+
+@pytest.mark.parametrize("h,w", [(53, 71), (135, 240), (108, 192)])
+def test_adm_tail_odd_dims(rng, h, w):
+    """Odd/ragged dims through the tail kernel (chunk masking + reflect
+    borders at every scale; 135x240 is the 1080p scale-3 geometry)."""
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+
+    ref, dis = make_pair(rng, b=1, h=h, w=w)
+    got = float(np.asarray(adm_features_pallas(ref, dis, tail=True)["adm2"])[0])
+    exp = float(np.asarray(adm_features(ref, dis)["adm2"])[0])
+    assert got == pytest.approx(exp, rel=3e-4)
+
+
+def test_adm_tail_neg_gain_limit(rng):
+    from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
+
+    ref, _ = make_pair(rng, b=1, h=96, w=128)
+    enhanced = np.clip(
+        (ref - ref.mean()) * 1.4 + ref.mean(), 0, 255
+    ).astype(np.float32)
+    got = float(np.asarray(
+        adm_features_pallas(ref, enhanced, enhn_gain_limit=1.0, tail=True)["adm2"]
+    )[0])
+    exp = float(np.asarray(
+        adm_features(ref, enhanced, enhn_gain_limit=1.0)["adm2"]
+    )[0])
+    assert got == pytest.approx(exp, rel=2e-4)
+
+
 def test_adm_pallas_uint8_inputs_match_f32(rng):
     """Raw uint8 inputs (round 3i: int8-bitcast DMA + in-VMEM value rebuild)
     must equal the f32-input path exactly (the conversion is exact and the

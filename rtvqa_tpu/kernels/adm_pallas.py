@@ -332,8 +332,13 @@ def _adm0_kernel(
     # (edge replication of the SUBBAND grid, matching the oracle's
     # np.pad(mode='edge') in the masking spread) sits at raw row
     # rr = 2*g_eff + t - 2, reflected at both image borders.
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, rows_in), 0)
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, rows_in), 1)
+    # LO rows live at block offset 0, HI rows at ``rows_blk`` (8-aligned so
+    # the post-lane-filter splits are sublane-aligned slices); the padding
+    # rows carry all-zero band weights, so the stacked matmul's valid rows
+    # are bit-identical to the unstacked form.
+    rows_blk = _round_up(rows_out, 8)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, rows_in), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, rows_in), 1)
     g = g0 + r_ids - 1
     g_eff = jnp.clip(g, 0, h2 - 1)
 
@@ -343,29 +348,33 @@ def _adm0_kernel(
             rr = 2 * g_eff + t - 2
             rr = jnp.abs(rr)                       # reflect top: -k -> k
             rr = jnp.where(rr >= h, 2 * (h - 1) - rr, rr)  # reflect bottom
-            term = jnp.where(l_ids == rr - st, float(wgt), 0.0)
+            term = jnp.where(
+                (l_ids == rr - st) & (r_ids < rows_out), float(wgt), 0.0
+            )
             m = term if m is None else m + term
         return m
 
     # lo and hi row filters stacked into ONE matrix per stream: each matmul
     # is tiny (rows_out x rows_in, e.g. 34 x 80) so a 34-row M dimension
     # wastes 3/4 of the 128-wide systolic rows — stacking doubles MXU row
-    # occupancy and halves the matmul dispatches.
+    # occupancy and halves the matmul dispatches. The lo/hi outputs stay
+    # STACKED through the lane filter (round 4): one banded matmul of M=80
+    # per stream/block instead of two of M=34 — half the dispatches and
+    # pipeline fills on the col stage (measured 12.9 ms of the 37 ms kernel).
     m_both = jnp.concatenate([band_matrix(LO), band_matrix(HI)], axis=0)
 
     def rows_fused(x):
-        both = jnp.dot(
+        return jnp.dot(
             m_both, x, preferred_element_type=jnp.float32,
             precision=FILTER_PRECISION,
         )
-        rows_out = m_both.shape[0] // 2
-        return both[:rows_out], both[rows_out:]
 
-    lo_r, hi_r = rows_fused(vmem_values(rbuf[slot]))
-    lo_d, hi_d = rows_fused(vmem_values(dbuf[slot]))
+    both_r = rows_fused(vmem_values(rbuf[slot]))
+    both_d = rows_fused(vmem_values(dbuf[slot]))
 
     if stages <= 2:
-        _early_exit(lo_r, lo_d, hi_r[0, 0] + hi_d[0, 0])
+        _early_exit(both_r[:rows_out], both_d[:rows_out],
+                    both_r[rows_blk, 0] + both_d[rows_blk, 0])
         return
 
     # --- column filters + lane decimation (MXU banded matmuls) -------------
@@ -384,10 +393,12 @@ def _adm0_kernel(
                 bands.append(shared)
             else:
                 bands.append(_col_band(j, w, a_j, sw, False))
-    oa, oh = _lane_filt_decim(lo_r, bands, plan)
-    ov, od = _lane_filt_decim(hi_r, bands, plan)
-    ta, th = _lane_filt_decim(lo_d, bands, plan)
-    tv, td = _lane_filt_decim(hi_d, bands, plan)
+    lo_l_r, hi_l_r = _lane_filt_decim(both_r, bands, plan)
+    lo_l_d, hi_l_d = _lane_filt_decim(both_d, bands, plan)
+    oa, ov = lo_l_r[:rows_out], lo_l_r[rows_blk : rows_blk + rows_out]
+    oh, od = hi_l_r[:rows_out], hi_l_r[rows_blk : rows_blk + rows_out]
+    ta, tv = lo_l_d[:rows_out], lo_l_d[rows_blk : rows_blk + rows_out]
+    th, td = hi_l_d[:rows_out], hi_l_d[rows_blk : rows_blk + rows_out]
 
     if stages <= 3:
         _early_exit(oa, ta, oh[0, 0] + ov[0, 0] + od[0, 0] + th[0, 0]
@@ -447,14 +458,20 @@ def _adm0_kernel(
         (out_rows >= top) & (out_rows < h2 - top)
         & (j >= left) & (j < w2 - left)
     )
+    # Fold the crop mask into the threshold ONCE (+LARGE makes the num
+    # hinge exactly 0 outside the crop — bit-identical to the where form,
+    # 1 shared op instead of one `where` per band); the den CSF factor is
+    # a per-band constant, pulled out of the cube as a post-sum scalar
+    # (|o*f|^3 == |o|^3 * f^3 up to one f32 rounding).
+    w_thr = jnp.where(valid, thr, 1e30)
 
     def pool(rst, orig, f):
         rst_c = rst[1 : strip + 1]
         orig_c = orig[1 : strip + 1]
-        masked = jnp.maximum(jnp.abs(rst_c * f) - thr, 0.0)
-        num = jnp.sum(jnp.where(valid, masked * masked * masked, 0.0))
-        oa_ = jnp.abs(orig_c * f)
-        den = jnp.sum(jnp.where(valid, oa_ * oa_ * oa_, 0.0))
+        masked = jnp.maximum(jnp.abs(rst_c * f) - w_thr, 0.0)
+        num = jnp.sum(masked * masked * masked)
+        oa_ = jnp.abs(jnp.where(valid, orig_c, 0.0))
+        den = jnp.sum(oa_ * oa_ * oa_) * (f * f * f)
         return num, den
 
     nh, dh = pool(rh, oh, fh)
@@ -670,9 +687,13 @@ def _tail_row_band(g0: int, st: int, ch: int, win: int, h_s: int, h2_s: int):
     chunk — the static-offset peer of ``_adm0_kernel``'s in-cell band: output
     row r is subband row g = g0 + r - 1 (r=0 / r=ch+1 are the spread halo),
     edge-replicated on the subband grid and reflected at the image borders,
-    taps addressed relative to the VMEM window starting at raw row ``st``."""
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (ch + 2, win), 0)
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (ch + 2, win), 1)
+    taps addressed relative to the VMEM window starting at raw row ``st``.
+    The LO/HI blocks are padded to 8-aligned ``rows_blk`` with zero-weight
+    rows so the stacked output can ride the lane filter un-split (round 4,
+    same scheme as ``_adm0_kernel``)."""
+    rows_blk = _round_up(ch + 2, 8)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, win), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, win), 1)
     g_eff = jnp.clip(g0 + r_ids - 1, 0, h2_s - 1)
 
     def band(taps):
@@ -681,7 +702,9 @@ def _tail_row_band(g0: int, st: int, ch: int, win: int, h_s: int, h2_s: int):
             rr = 2 * g_eff + t - 2
             rr = jnp.abs(rr)
             rr = jnp.where(rr >= h_s, 2 * (h_s - 1) - rr, rr)
-            term = jnp.where(l_ids == rr - st, float(wgt), 0.0)
+            term = jnp.where(
+                (l_ids == rr - st) & (r_ids < ch + 2), float(wgt), 0.0
+            )
             m = term if m is None else m + term
         return m
 
@@ -736,24 +759,30 @@ def _adm_tail_kernel(
         g_rows = jax.lax.broadcasted_iota(jnp.int32, (ch, wq2_s), 0)
         g_lanes = jax.lax.broadcasted_iota(jnp.int32, (ch, wq2_s), 1)
 
+        rows_blk = _round_up(ch + 2, 8)
         for c in range(n_ch):
             g0 = c * ch
             st = min(max((2 * g0 - 4) // 8, 0), (src_rows - win) // 8) * 8
             m_both = _tail_row_band(g0, st, ch, win, h_s, h2_s)
 
             def rows_fused(x):
-                both = jnp.dot(
+                return jnp.dot(
                     m_both, x, preferred_element_type=jnp.float32,
                     precision=FILTER_PRECISION,
                 )
-                return both[: ch + 2], both[ch + 2 :]
 
-            lo_r, hi_r = rows_fused(src_r[st : st + win])
-            lo_d, hi_d = rows_fused(src_d[st : st + win])
-            oa, oh = _lane_filt_decim(lo_r, bands, plan)
-            ov, od = _lane_filt_decim(hi_r, bands, plan)
-            ta, th = _lane_filt_decim(lo_d, bands, plan)
-            tv, td = _lane_filt_decim(hi_d, bands, plan)
+            both_r = rows_fused(src_r[st : st + win])
+            both_d = rows_fused(src_d[st : st + win])
+            lo_l_r, hi_l_r = _lane_filt_decim(both_r, bands, plan)
+            lo_l_d, hi_l_d = _lane_filt_decim(both_d, bands, plan)
+            oa = lo_l_r[: ch + 2]
+            ov = lo_l_r[rows_blk : rows_blk + ch + 2]
+            oh = hi_l_r[: ch + 2]
+            od = hi_l_r[rows_blk : rows_blk + ch + 2]
+            ta = lo_l_d[: ch + 2]
+            tv = lo_l_d[rows_blk : rows_blk + ch + 2]
+            th = hi_l_d[: ch + 2]
+            td = hi_l_d[rows_blk : rows_blk + ch + 2]
 
             # Decoupling (vmaf.adm._decouple semantics, NEG cap in-kernel).
             eps = 1e-30
@@ -796,14 +825,17 @@ def _adm_tail_kernel(
                 (g_rows + g0 >= top) & (g_rows + g0 < h2_s - top)
                 & (g_lanes >= left) & (g_lanes < w2_s - left)
             )
+            # Crop mask folded into the threshold; den CSF factor pulled
+            # out as a post-sum scalar (see ``_adm0_kernel``'s pool).
+            w_thr = jnp.where(valid, thr, 1e30)
 
             def pool(rst, orig, f):
                 rst_c = rst[1 : ch + 1]
                 orig_c = orig[1 : ch + 1]
-                masked = jnp.maximum(jnp.abs(rst_c * f) - thr, 0.0)
-                num = jnp.sum(jnp.where(valid, masked * masked * masked, 0.0))
-                oa_ = jnp.abs(orig_c * f)
-                den = jnp.sum(jnp.where(valid, oa_ * oa_ * oa_, 0.0))
+                masked = jnp.maximum(jnp.abs(rst_c * f) - w_thr, 0.0)
+                num = jnp.sum(masked * masked * masked)
+                oa_ = jnp.abs(jnp.where(valid, orig_c, 0.0))
+                den = jnp.sum(oa_ * oa_ * oa_) * (f * f * f)
                 return num, den
 
             for idx, (rst, orig, f) in enumerate(

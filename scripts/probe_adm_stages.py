@@ -40,18 +40,25 @@ def main():
     import bench
 
     gen, distort = bench.device_frame_fns(N, H, W)
-    ry = gen(0)[0].astype(jnp.float32)
-    dy = distort(ry, 1).astype(jnp.float32)
-    np.asarray(dy[0, 0, :8])
+    ry = gen(0)[0]
+    # Distinct uint8 variants (round 4): `dy + tag` would promote the pair
+    # to f32 and probe the wrong dataflow — the production path feeds RAW
+    # uint8 (int8-bitcast DMA + in-VMEM rebuild, round 3i).
+    dys = [distort(ry, 10 + k) for k in range(32)]
+    jax.block_until_ready(dys)
+    np.asarray(dys[0][0, 0, :8])
     note("inputs on-device")
 
     from rtvqa_tpu.kernels.adm_pallas import adm_scale_pallas
 
     HALO_IN = 4  # the round-3a..3d kernels' input halo (prep now removed)
 
+    _seq = iter(range(10**6))
+
     def make_run(stages):
         def run(tag):
-            num0, den0, _, _ = adm_scale_pallas(ry, dy + tag, 0, stages=stages)
+            num0, den0, _, _ = adm_scale_pallas(
+                ry, dys[next(_seq) % len(dys)], 0, stages=stages)
             return np.asarray(num0 + den0)
         return run
 
@@ -76,7 +83,7 @@ def main():
         return prep(a)[:, 0, :8].sum() + prep(b_)[:, 0, :8].sum()
 
     runs = {"floor": lambda tag: np.asarray(tiny(ry, tag)),
-            "prep": lambda tag: np.asarray(prep_only(ry, dy, tag))}
+            "prep": lambda tag: np.asarray(prep_only(ry, dys[0], tag))}
     runs.update({st: make_run(st) for st in (0, 1, 2, 3, 4, 5, 6)})
     tags = [jnp.float32(k * 1e-6) for k in range(len(runs) * (REPS + 2))]
     for idx, (st, fn) in enumerate(runs.items()):

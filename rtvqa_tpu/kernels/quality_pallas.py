@@ -296,7 +296,7 @@ def _fused_q_kernel(
     *refs,
     h: int, w: int, h_arr: int, wq2: int, h2: int, w2: int,
     n_tiles_y: int, n_tiles_c: int, taps_stats, taps_dec, egl, strip: int,
-    fast3: bool = False, stages: int = 6, plans=None,
+    fast3: bool = False, stages: int = 6, plans=None, emit_dec: bool = True,
 ):
     """Grid (n_strips, B) — strip-major, frame-minor (the blur_prev scratch
     carries frame i-1's blurred strip into cell (s, i)).
@@ -318,19 +318,26 @@ def _fused_q_kernel(
     (constant index_map — copied once, not per cell) instead of being
     rebuilt on the VPU in every grid cell.
     """
+    refs = list(refs)
+    (ref_hbm, dis_hbm, ru_hbm, du_hbm, rv_hbm, dv_hbm, pblur_hbm) = refs[:7]
+    idx = 7
     if plans is not None:
-        (ref_hbm, dis_hbm, ru_hbm, du_hbm, rv_hbm, dv_hbm, pblur_hbm,
-         stats_b, dec_b, blur_b, ssim_y_b, ssim_c_b, pool_y_b, pool_c_b,
-         out_ref, dec_ref_out, dec_dis_out, blur_out,
-         rbuf, dbuf, cbufs, pblur_buf, blur_prev,
-         sem_r, sem_d, sem_c, sem_p) = refs
+        (stats_b, dec_b, blur_b, ssim_y_b, ssim_c_b,
+         pool_y_b, pool_c_b) = refs[7:14]
+        idx = 14
         (stats_plan, dec_plan, blur_plan,
          pool_y_plan, pool_y_sw, pool_c_plan, pool_c_sw) = plans
+    out_ref = refs[idx]
+    idx += 1
+    if emit_dec:
+        dec_ref_out, dec_dis_out = refs[idx], refs[idx + 1]
+        idx += 2
     else:
-        (ref_hbm, dis_hbm, ru_hbm, du_hbm, rv_hbm, dv_hbm, pblur_hbm,
-         out_ref, dec_ref_out, dec_dis_out, blur_out,
-         rbuf, dbuf, cbufs, pblur_buf, blur_prev,
-         sem_r, sem_d, sem_c, sem_p) = refs
+        # Round 4: the VIF tail kernel computes the scale-1 decimation
+        # itself from the raw luma — no dec outputs, no stage-6 compute.
+        dec_ref_out = dec_dis_out = None
+    (blur_out, rbuf, dbuf, cbufs, pblur_buf, blur_prev,
+     sem_r, sem_d, sem_c, sem_p) = refs[idx:]
     s = pl.program_id(0)
     i = pl.program_id(1)
     rows = strip + 16  # 8-row halo each side (17-tap moment filter)
@@ -396,8 +403,9 @@ def _fused_q_kernel(
         out_ref[0, :, :] = jnp.broadcast_to(
             jnp.where(_lane1 == 0, scalar, 0.0), (8, 128)
         )
-        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
-        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        if emit_dec:
+            dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+            dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
         blur_out[...] = r[0:strip, :]
 
     if stages <= 1:
@@ -439,8 +447,9 @@ def _fused_q_kernel(
         out_ref[0, :, :] = jnp.broadcast_to(
             jnp.where(_lane1 == 0, sse_y + sad_sum, 0.0), (8, 128)
         )
-        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
-        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        if emit_dec:
+            dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+            dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
         return
 
     # Stacked moments (shared with the VIF filters below; the row-pass
@@ -486,8 +495,9 @@ def _fused_q_kernel(
         out_ref[0, :, :] = jnp.broadcast_to(
             jnp.where(_lane1 == 0, ssim_y_sum, 0.0), (8, 128)
         )
-        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
-        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        if emit_dec:
+            dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+            dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
         return
 
     for dma in dmas_c:
@@ -538,8 +548,9 @@ def _fused_q_kernel(
             jnp.where(_lane1 == 0, ssim_u_sum + ssim_v_sum + sse_u + sse_v,
                       0.0), (8, 128)
         )
-        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
-        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        if emit_dec:
+            dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+            dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
         return
 
     # --- VIF scale 0 (kernels.vif_pallas dataflow, verbatim; row pass
@@ -559,22 +570,27 @@ def _fused_q_kernel(
         out_ref[0, :, :] = jnp.broadcast_to(
             jnp.where(_lane1 == 0, num_sum + den_sum, 0.0), (8, 128)
         )
-        dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
-        dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
+        if emit_dec:
+            dec_ref_out[0, :, :] = r[0:half_s, 0:wq2]
+            dec_dis_out[0, :, :] = d[0:half_s, 0:wq2]
         return
 
     # --- scale-1 pre-decimation filter + 2x decimation (both axes fused) ----
-    half = strip // 2
-    dec_rows = _filt_rows_raw(
-        [r, d], taps_dec, 2, half, rows, 2, row0, st, h, fast3,
-        exact_segs=(int_exact, int_exact),
-    )
-    if plans is not None:
-        dec = _filt_lanes_ext(dec_rows, dec_b, dec_plan, fast3)
-    else:
-        dec = _filt_lanes_raw(dec_rows, taps_dec, w, wq2 // 128, 2, fast3)
-    dec_ref_out[0, :, :] = dec[0:half]
-    dec_dis_out[0, :, :] = dec[half : 2 * half]
+    # Skipped entirely under emit_dec=False (round 4): the VIF tail kernel
+    # re-derives the scale-1 inputs from the raw luma at per-frame MXU
+    # shapes (M~160 vs M=32 here — this stage bisected at 13.7 ms).
+    if emit_dec:
+        half = strip // 2
+        dec_rows = _filt_rows_raw(
+            [r, d], taps_dec, 2, half, rows, 2, row0, st, h, fast3,
+            exact_segs=(int_exact, int_exact),
+        )
+        if plans is not None:
+            dec = _filt_lanes_ext(dec_rows, dec_b, dec_plan, fast3)
+        else:
+            dec = _filt_lanes_raw(dec_rows, taps_dec, w, wq2 // 128, 2, fast3)
+        dec_ref_out[0, :, :] = dec[0:half]
+        dec_dis_out[0, :, :] = dec[half : 2 * half]
 
     # --- packed per-cell scalars --------------------------------------------
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -594,11 +610,12 @@ def _fused_q_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("egl", "interpret", "fast3", "crop", "stages",
-                     "ext_bands"),
+                     "ext_bands", "emit_dec"),
 )
 def quality_fused_pallas(
     ry, ru, rv, dy, du, dv, prev_blur, egl=None, interpret: bool = False,
     fast3=None, crop: bool = True, stages: int = 6, ext_bands: bool = True,
+    emit_dec: bool = True,
 ):
     """Fused VIF-scale-0 + program-A over YUV420 batches.
 
@@ -754,17 +771,23 @@ def quality_fused_pallas(
                 bnd.shape, lambda s, i: (0, 0, 0), memory_space=pltpu.VMEM
             ))
 
+    if emit_dec:
+        out_shapes = (out_shape, dec_shape, dec_shape, blur_shape)
+        out_specs = (out_spec, dec_spec, dec_spec, blur_spec)
+    else:
+        out_shapes = (out_shape, blur_shape)
+        out_specs = (out_spec, blur_spec)
     outs = pl.pallas_call(
         functools.partial(
             _fused_q_kernel, h=h, w=w, h_arr=h_arr, wq2=wq2, h2=h2, w2=w2,
             n_tiles_y=n_tiles_y, n_tiles_c=n_tiles_c,
             taps_stats=taps_stats, taps_dec=taps_dec, egl=egl, strip=strip,
-            fast3=f3, stages=stages, plans=plans,
+            fast3=f3, stages=stages, plans=plans, emit_dec=emit_dec,
         ),
-        out_shape=(out_shape, dec_shape, dec_shape, blur_shape),
+        out_shape=out_shapes,
         grid=(n_strips, b),
         in_specs=in_specs,
-        out_specs=(out_spec, dec_spec, dec_spec, blur_spec),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((rows, w_arr), luma_dtype),          # rbuf
             pltpu.VMEM((rows, w_arr), luma_dtype),          # dbuf
@@ -779,16 +802,15 @@ def quality_fused_pallas(
         interpret=interpret,
     )(*inputs)
 
-    packed, dec_r, dec_d, blur_carry = outs
+    if emit_dec:
+        packed, dec_r, dec_d, blur_carry = outs
+    else:
+        packed, blur_carry = outs
     packed = packed.reshape(b, n_strips, 8, 128)[:, :, 0, :]
     vif_num = jnp.sum(packed[:, :, LANE_VIF_NUM], axis=-1)
     vif_den = jnp.sum(packed[:, :, LANE_VIF_DEN], axis=-1)
 
-    hd = (h + 1) // 2
-    if crop:
-        dec_r = dec_r[:, :hd, :wd]
-        dec_d = dec_d[:, :hd, :wd]
-    return {
+    out = {
         "vif_scale0": vif_num / jnp.maximum(vif_den, _EPS),
         "sse_y": jnp.sum(packed[:, :, LANE_SSE_Y], axis=-1),
         "sse_u": jnp.sum(packed[:, :, LANE_SSE_U], axis=-1),
@@ -797,7 +819,13 @@ def quality_fused_pallas(
         "ssim_u_sum": jnp.sum(packed[:, :, LANE_SSIM_U], axis=-1),
         "ssim_v_sum": jnp.sum(packed[:, :, LANE_SSIM_V], axis=-1),
         "sad_sum": jnp.sum(packed[:, :, LANE_SAD], axis=-1),
-        "dec_ref": dec_r,
-        "dec_dis": dec_d,
         "blur_carry": blur_carry[:h, :w],
     }
+    if emit_dec:
+        hd = (h + 1) // 2
+        if crop:
+            dec_r = dec_r[:, :hd, :wd]
+            dec_d = dec_d[:, :hd, :wd]
+        out["dec_ref"] = dec_r
+        out["dec_dis"] = dec_d
+    return out

@@ -720,6 +720,7 @@ def _vif_tail_kernel(
     ref_hbm, dis_hbm, *refs,
     h1: int, w1: int, h1_arr: int, w1_arr: int,
     chunk: tuple, egl, f3_1: bool, plans,
+    raw: tuple | None = None,
 ):
     """Grid (B,): VIF scales 1-3 for ONE frame per cell — the whole scale-1
     frame (already 9-tap-filtered + decimated by the scale-0 kernel) lives
@@ -736,11 +737,26 @@ def _vif_tail_kernel(
     per-frame cells and kills the scale-2/3 input HBM round trips (round 4,
     VERDICT r3 next #1). Capability parity:
     /root/reference/video_processing.py:280-282 (libvmaf VIF features).
+
+    ``raw`` (round 4b): ``(h0, w0, dec0_plan)`` — the DMA'd buffers hold the
+    RAW scale-0 luma (int8-staged uint8) and the scale-1 inputs are derived
+    per chunk by the 9-tap pre-decimation filter IN-KERNEL (band structure
+    identical to the fused quality kernel's stage 6), at per-frame MXU
+    shapes (M ~ 2x(ch+16) vs the strip
+    kernel's M=32). Kills the dec HBM round trip (~1 GB/128-frame chunk)
+    and the strip kernel's 13.7 ms dec stage.
     """
-    (stats1_b, dec1_b, stats2_b, dec2_b, stats3_b,
-     out_ref, rbuf, dbuf, r2_buf, d2_buf, r3_buf, d3_buf,
-     sem_r, sem_d) = refs
-    (stats1_p, dec1_p, stats2_p, dec2_p, stats3_p) = plans
+    if raw is not None:
+        (dec0_b, stats1_b, dec1_b, stats2_b, dec2_b, stats3_b,
+         out_ref, rbuf, dbuf, r2_buf, d2_buf, r3_buf, d3_buf,
+         sem_r, sem_d) = refs
+        (dec0_p, stats1_p, dec1_p, stats2_p, dec2_p, stats3_p) = plans
+        h0, w0 = raw
+    else:
+        (stats1_b, dec1_b, stats2_b, dec2_b, stats3_b,
+         out_ref, rbuf, dbuf, r2_buf, d2_buf, r3_buf, d3_buf,
+         sem_r, sem_d) = refs
+        (stats1_p, dec1_p, stats2_p, dec2_p, stats3_p) = plans
     i = pl.program_id(0)
 
     dma_r = pltpu.make_async_copy(ref_hbm.at[i], rbuf, sem_r)
@@ -754,14 +770,15 @@ def _vif_tail_kernel(
     taps_d1 = tuple(float(v) for v in gaussian_kernel(5, 5 / 5.0))
     taps_d2 = tuple(float(v) for v in gaussian_kernel(3, 3 / 5.0))
 
-    def scale_pass(src_r, src_d, taps_s, taps_d, stats_bp, dec_bp,
+    def scale_pass(get_window, src_rows, taps_s, taps_d, stats_bp, dec_bp,
                    h_s, w_s, ch, n_ch, f3, dst_r, dst_d):
         """One VIF scale over VMEM-resident inputs, in static row chunks
         (chunking caps the live moment temporaries — the whole-frame stack
         at 1024 lanes overflowed the 16 MB scoped-VMEM budget by ~3 MB):
         accumulates the scale's (num, den) and writes the next scale's
-        decimated inputs into ``dst_r``/``dst_d``."""
-        src_rows = src_r.shape[0]
+        decimated inputs into ``dst_r``/``dst_d``. ``get_window(st, win)``
+        returns the (win, lanes) input pair whose first row is scale row
+        ``st`` — a buffer slice, or the raw-mode in-kernel decimation."""
         win = min(ch + 16, src_rows)
         half_ch = ch // 2
         num = den = jnp.float32(0.0)
@@ -769,8 +786,7 @@ def _vif_tail_kernel(
             row0 = c * ch
             st = min(max(row0 - 8, 0), src_rows - win)
             st = (st // 8) * 8
-            wr = src_r[st : st + win]
-            wd = src_d[st : st + win]
+            wr, wd = get_window(st, win)
             mom_rows = _filt_rows_raw(
                 [wr, wd, wr * wr, wd * wd, wr * wd], taps_s, 5, ch,
                 win, 1, row0, st, h_s, f3,
@@ -794,17 +810,52 @@ def _vif_tail_kernel(
     h2, w2 = (h1 + 1) // 2, (w1 + 1) // 2
     h3, w3 = (h2 + 1) // 2, (w2 + 1) // 2
 
+    def buf_window(src_r, src_d):
+        return lambda st, win: (src_r[st : st + win], src_d[st : st + win])
+
+    if raw is not None:
+        # Scale-1 inputs derived from the raw luma per chunk: the 9-tap
+        # pre-decimation filter (stage 6 of the fused quality kernel,
+        # identical band structure -> bit-equal values).
+        taps_d0 = tuple(float(v) for v in gaussian_kernel(9, 9 / 5.0))
+        int_exact = rbuf.dtype == jnp.int8
+        rows_buf = rbuf.shape[0]
+
+        # NOTE: rebuilding the uint8 values directly in bf16 (skipping the
+        # f32 relayout) fails Mosaic compilation on hardware (HTTP 500 in
+        # tpu_compile_helper, 2026-08-19) though interpret mode accepts it —
+        # keep the f32 vmem_values rebuild.
+        def raw_window(st1, win1):
+            rows0 = min(-(-(2 * win1 + 40) // 32) * 32, rows_buf)
+            st0 = min(max((2 * st1 - 4) // 32, 0),
+                      (rows_buf - rows0) // 32) * 32
+            wr_raw = vmem_values(rbuf[st0 : st0 + rows0])
+            wd_raw = vmem_values(dbuf[st0 : st0 + rows0])
+            dec_rows = _filt_rows_raw(
+                [wr_raw, wd_raw], taps_d0, 2, win1, rows0, 2,
+                2 * st1, st0, h0, f3_1,
+                exact_segs=(int_exact, int_exact),
+            )
+            dec = _filt_lanes_ext(dec_rows, dec0_b, dec0_p, f3_1)
+            return dec[:win1], dec[win1:]
+
+        get_w1, rows1 = raw_window, n1 * ch1 + 16
+    else:
+        get_w1, rows1 = buf_window(rbuf, dbuf), rbuf.shape[0]
+
     num1, den1 = scale_pass(
-        rbuf, dbuf, taps_s1, taps_d1, (stats1_b, stats1_p),
+        get_w1, rows1, taps_s1, taps_d1, (stats1_b, stats1_p),
         (dec1_b, dec1_p), h1, w1, ch1, n1, f3_1, r2_buf, d2_buf,
     )
     # Scales 2-3 run exact (fast3 is gated to scales <= 1).
     num2, den2 = scale_pass(
-        r2_buf, d2_buf, taps_d1, taps_d2, (stats2_b, stats2_p),
+        buf_window(r2_buf, d2_buf), r2_buf.shape[0], taps_d1, taps_d2,
+        (stats2_b, stats2_p),
         (dec2_b, dec2_p), h2, w2, ch2, n2, False, r3_buf, d3_buf,
     )
     num3, den3 = scale_pass(
-        r3_buf, d3_buf, taps_d2, None, (stats3_b, stats3_p),
+        buf_window(r3_buf, d3_buf), r3_buf.shape[0], taps_d2, None,
+        (stats3_b, stats3_p),
         (None, None), h3, w3, ch3, n3, False, None, None,
     )
 
@@ -817,48 +868,81 @@ def _vif_tail_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("egl", "interpret", "fast3", "h", "w"),
+    static_argnames=("egl", "interpret", "fast3", "h", "w", "raw",
+                     "raw_ch1"),
 )
 def vif_tail_pallas(
     dec_ref: jnp.ndarray, dec_dis: jnp.ndarray, egl=None,
     interpret: bool = False, fast3=None,
-    h: int | None = None, w: int | None = None,
+    h: int | None = None, w: int | None = None, raw: bool = False,
+    raw_ch1: int | None = None,
 ):
-    """VIF scales 1-3 over the scale-0 kernel's decimated outputs, as ONE
-    per-frame Pallas kernel (``_vif_tail_kernel``).
+    """VIF scales 1-3 as ONE per-frame Pallas kernel (``_vif_tail_kernel``).
 
-    ``dec_ref``/``dec_dis``: (B, H1p, W1p) float32 — scale-1 inputs, possibly
-    block-padded (``quality_fused_pallas(..., crop=False)``); ``h``/``w``
-    give the VALID scale-1 dims (default: the array dims). Returns
-    ``{"vif_scale1": (B,), "vif_scale2": ..., "vif_scale3": ...}`` matching
-    the chained ``vif_scale_pallas`` calls (same filters, same fast3 gating:
-    scale 1 fast3-eligible, scales 2-3 exact).
+    Default mode — ``dec_ref``/``dec_dis``: (B, H1p, W1p) float32 scale-1
+    inputs, possibly block-padded (``quality_fused_pallas(..., crop=False)``);
+    ``h``/``w`` give the VALID scale-1 dims (default: the array dims).
+
+    ``raw=True`` (round 4b) — the inputs are the RAW scale-0 luma pair
+    (uint8/int8-stageable; ``h``/``w`` are the scale-0 dims) and the kernel
+    derives the scale-1 inputs itself with the 9-tap pre-decimation filter
+    (same taps, band builders, and exact-int fast3 gating as the fused
+    quality kernel's stage 6 — identical values; the scale-1 sums differ
+    only in chunk partial-sum order, ~1e-6 rel). Lets the quality kernel skip
+    that stage and its dec HBM round trip entirely
+    (``quality_fused_pallas(..., emit_dec=False)``).
+
+    Returns ``{"vif_scale1": (B,), "vif_scale2": ..., "vif_scale3": ...}``
+    matching the chained ``vif_scale_pallas`` calls (same filters, same
+    fast3 gating: scale 1 fast3-eligible, scales 2-3 exact).
 
     Sized for scale-1 widths <= ~1024 lanes (1080p-class input): the whole
-    scale-1 frame pair plus the scale-2 scratch must fit VMEM. Callers route
-    wider inputs to the per-scale chain.
+    input frame pair plus the scale-2 scratch must fit VMEM (raw mode
+    int8-stages uint8 luma — 2 MB/frame at 1080p). Callers route wider
+    inputs to the per-scale chain.
     """
-    b, h1_in, w1_in = dec_ref.shape
-    h1 = h1_in if h is None else h
-    w1 = w1_in if w is None else w
+    b, h_in, w_in = dec_ref.shape
     f3_1 = resolve_fast3(fast3)  # scale-1 is fast3-eligible (scale <= 1)
+    if raw:
+        h0 = h_in if h is None else h
+        w0 = w_in if w is None else w
+        h1, w1 = (h0 + 1) // 2, (w0 + 1) // 2
+    else:
+        h1 = h_in if h is None else h
+        w1 = w_in if w is None else w
 
-    def plan_chunks(h_valid: int) -> tuple[int, int]:
+    def plan_chunks(h_valid: int, cap: int = 64) -> tuple[int, int]:
         """Rows per chunk (multiple of 16: the dec writes are ch/2-row
         sublane-aligned slices) and chunk count for one scale."""
-        ch = 64
+        ch = cap
         while ch > 16 and ch - h_valid >= ch // 2:
             ch //= 2  # short frames: don't run mostly-masked chunks
         return ch, -(-h_valid // ch)
 
-    ch1, n1 = plan_chunks(h1)
-    # Row/lane padding so the chunk windows + DMA contract hold.
-    pad_rows = max(_round_up(h1_in, 8), ch1 + 16) - h1_in
-    pad_lanes = _round_up(w1_in, 128) - w1_in
-    ref_p = stage_raw(dec_ref.astype(jnp.float32), pad_rows, pad_lanes)
-    dis_p = stage_raw(dec_dis.astype(jnp.float32), pad_rows, pad_lanes)
-    h1_arr = h1_in + pad_rows
-    w1_arr = w1_in + pad_lanes
+    # Raw-mode ch1 (static, A/B-able): 32 = safe VMEM default; 64 halves
+    # the chunk count + halo overlap but roughly doubles the live per-chunk
+    # raw window + dec temporaries.
+    ch1, n1 = plan_chunks(h1, (raw_ch1 or 32) if raw else 64)
+    if raw:
+        # Raw luma staged as-is (int8 bitcast for uint8); rows must hold the
+        # largest 32-aligned raw chunk window.
+        rows0_max = min(-(-(2 * (ch1 + 16) + 40) // 32) * 32,
+                        _round_up(h_in, 32))
+        pad_rows = max(_round_up(h_in, 32), rows0_max) - h_in
+        pad_lanes = _round_up(w_in, 128) - w_in
+        dec_ref, dec_dis = unify_pair(dec_ref, dec_dis)
+        ref_p = stage_raw(dec_ref, pad_rows, pad_lanes)
+        dis_p = stage_raw(dec_dis, pad_rows, pad_lanes)
+        w1_arr = 128 * (-(-w1 // 128))
+        h1_arr = n1 * ch1 + 16  # virtual scale-1 grid (windows generated)
+    else:
+        # Row/lane padding so the chunk windows + DMA contract hold.
+        pad_rows = max(_round_up(h_in, 8), ch1 + 16) - h_in
+        pad_lanes = _round_up(w_in, 128) - w_in
+        ref_p = stage_raw(dec_ref.astype(jnp.float32), pad_rows, pad_lanes)
+        dis_p = stage_raw(dec_dis.astype(jnp.float32), pad_rows, pad_lanes)
+        h1_arr = h_in + pad_rows
+        w1_arr = w_in + pad_lanes
 
     h2, w2 = (h1 + 1) // 2, (w1 + 1) // 2
     w2_arr = 128 * (-(-w2 // 128))
@@ -885,8 +969,17 @@ def vif_tail_pallas(
     stats3_b, stats3_p = build_lane_bands(
         taps_d2, w3, w3_arr, w3_arr // 128, 1, False)
     plans = (stats1_p, dec1_p, stats2_p, dec2_p, stats3_p)
-
     band_ins = [stats1_b, dec1_b, stats2_b, dec2_b, stats3_b]
+    raw_dims = None
+    if raw:
+        # Same taps/band builder as the fused quality kernel's dec stage.
+        w0_arr = w_in + pad_lanes
+        dec0_b, dec0_p = build_lane_bands(
+            taps_s1, w0, w0_arr, w1_arr // 128, 2, f3_1)
+        band_ins = [dec0_b] + band_ins
+        plans = (dec0_p,) + plans
+        raw_dims = (h0, w0)
+
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -900,18 +993,27 @@ def vif_tail_pallas(
         (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
+    if raw:
+        in_bufs = [
+            pltpu.VMEM((h_in + pad_rows, w0_arr), ref_p.dtype),
+            pltpu.VMEM((h_in + pad_rows, w0_arr), ref_p.dtype),
+        ]
+    else:
+        in_bufs = [
+            pltpu.VMEM((h1_arr, w1_arr), jnp.float32),
+            pltpu.VMEM((h1_arr, w1_arr), jnp.float32),
+        ]
+
     out = pl.pallas_call(
         functools.partial(
             _vif_tail_kernel, h1=h1, w1=w1, h1_arr=h1_arr, w1_arr=w1_arr,
-            chunk=chunks, egl=egl, f3_1=f3_1, plans=plans,
+            chunk=chunks, egl=egl, f3_1=f3_1, plans=plans, raw=raw_dims,
         ),
         out_shape=out_shape,
         grid=(b,),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((h1_arr, w1_arr), jnp.float32),
-            pltpu.VMEM((h1_arr, w1_arr), jnp.float32),
+        scratch_shapes=in_bufs + [
             pltpu.VMEM((h2_arr, w2_arr), jnp.float32),
             pltpu.VMEM((h2_arr, w2_arr), jnp.float32),
             pltpu.VMEM((h3_arr, w3_arr), jnp.float32),

@@ -167,11 +167,22 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
         pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl, fast3=fast3)
         return jnp.concatenate([pa, pb], axis=0), blur
 
+    h, w = ry.shape[-2], ry.shape[-1]
+    if vif_tail is None:
+        vif_tail = _VIF_TAIL_MODE != "chain"
+    # Raw tail mode (round 4b, RTVQA_VIF_TAIL=raw): the tail kernel derives
+    # the scale-1 inputs itself from the raw uint8 luma, so the fused kernel
+    # skips its dec stage (bisected at 13.7 ms) and the ~1 GB/chunk dec HBM
+    # round trip. Measured NEUTRAL-to-slightly-negative on device (chunk
+    # 140.1 vs 136.8 ms median at 128x1080p, scripts/probe_raw_tail_ab.py —
+    # the per-chunk int8->f32 window rebuilds eat the saved stage), so the
+    # dec-input tail stays the default; kept for wider-VMEM future parts.
+    raw_tail = (vif_tail and ry.dtype == jnp.uint8
+                and _VIF_TAIL_MODE == "raw")
     fq = quality_fused_pallas(
         ry, ru, rv, dy, du, dv, prev_blur, egl=vif_egl, fast3=fast3,
-        crop=False,
+        crop=False, emit_dec=not raw_tail,
     )
-    h, w = ry.shape[-2], ry.shape[-1]
     h2, w2 = ru.shape[-2], ru.shape[-1]
     n_y = h * w
     n_c = h2 * w2
@@ -198,13 +209,16 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
 
     out["vif_scale0"] = fq["vif_scale0"]
     hs, ws = (h + 1) // 2, (w + 1) // 2
-    if vif_tail is None:
-        vif_tail = _VIF_TAIL_MODE != "chain"
-    if vif_tail:
+    if raw_tail:
         # Round 4 (VERDICT r3 next #1): scales 1-3 as ONE per-frame kernel
-        # on the block-padded dec outputs — 128 grid cells instead of ~1900
-        # strip cells across three kernels, and no scale-2/3 input HBM
-        # round trips. RTVQA_VIF_TAIL=chain restores the per-scale chain.
+        # — 128 grid cells instead of ~1900 strip cells across three
+        # kernels, no scale-2/3 input HBM round trips, and (4b) the scale-1
+        # decimation derived in-kernel from the raw luma.
+        # RTVQA_VIF_TAIL=chain restores the per-scale chain.
+        out.update(vif_tail_pallas(
+            ry, dy, egl=vif_egl, fast3=fast3, h=h, w=w, raw=True,
+        ))
+    elif vif_tail:
         out.update(vif_tail_pallas(
             fq["dec_ref"], fq["dec_dis"], egl=vif_egl, fast3=fast3,
             h=hs, w=ws,
@@ -391,6 +405,30 @@ def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap,
     n_frames = 0
     tails = None  # merged mode: carried complexity tail frames (on device)
 
+    # Depth-1 fetch pipeline (round 4): chunk k's packed outputs are
+    # materialized only after chunk k+1's program is DISPATCHED, so the
+    # ~30-40 ms small-fetch RPC overlaps the in-flight execution instead of
+    # serializing with it (scripts/probe_pipeline_fetch.py: quality chunk
+    # 137.8 -> 115.5 ms, complexity 77.3 -> 53.9 ms per 128x1080p rep).
+    # The device carries (blur, tails) feed the next dispatch WITHOUT
+    # materialization, so only the packed fetch is deferred. Depth 1 keeps
+    # at most two programs in flight (CLAUDE.md: deeper concurrent dispatch
+    # has crashed the tunnel worker).
+    pending = None  # (packed_dev_or_host, n, timestamps_or_None)
+
+    def flush(acc=None):
+        nonlocal n_frames
+        if pending is None:
+            return
+        packed_h, pn, ts = pending
+        packed_h = np.asarray(packed_h)
+        if acc is not None:
+            acc.add_packed(packed_h[len(CHUNK_KEYS):, :pn], ts)
+            packed_h = packed_h[: len(CHUNK_KEYS)]
+        for row, k in enumerate(CHUNK_KEYS):
+            series.setdefault(k, []).append(packed_h[row, :pn])
+        n_frames += pn
+
     while True:
         rb = next(ref_it, None)
         db = next(dis_it, None)
@@ -433,46 +471,46 @@ def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap,
                 motion_search=acc.motion_search, motion_impl=acc.motion_impl,
                 complexity_on="dis" if on_dis else "ref",
             )
-            packed = np.asarray(packed)  # ONE fetch for quality + complexity
             chost = dhost if on_dis else rhost
-            acc.add_packed(
-                packed[len(CHUNK_KEYS):, :n], chost.timestamps_ms[:n]
-            )
-            packed = packed[: len(CHUNK_KEYS)]
+            flush(acc)  # chunk k-1's ONE fetch, after chunk k's dispatch
+            pending = (packed, n, chost.timestamps_ms[:n])
         elif runner is not None:
             packed, carry_blur = runner(
                 ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
             )
-            packed = np.asarray(packed)
+            flush()
+            pending = (packed, n, None)
         elif jax.default_backend() != "cpu":
-            # One fused program per chunk: one dispatch + one fetch round
-            # trip through the tunnel.
+            # One fused program per chunk: one dispatch + one (deferred)
+            # fetch round trip through the tunnel.
             packed, carry_blur = _program_chunk(
                 ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first),
                 vif_egl=vif_egl, adm_egl=adm_egl, fast3=fast3,
             )
-            packed = np.asarray(packed)
+            flush()
+            pending = (packed, n, None)
         else:
             # CPU: no RPC round trips to save, and the merged module takes
             # several times longer to compile on the single host core than
-            # the two halves — keep the split dispatch.
+            # the two halves — keep the split dispatch, no deferral.
             pa, carry_blur = _program_a(
                 ry, ru, rv, dy, du, dv, carry_blur, jnp.asarray(not first)
             )
             pa = np.asarray(pa)
             pb = np.asarray(_program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl))
-            packed = np.concatenate([pa, pb], axis=0)
+            flush()
+            pending = (np.concatenate([pa, pb], axis=0), n, None)
 
         if tap is not None:
+            # n_frames counts flushed chunks 0..k-1 — this chunk's offset.
             tap(rhost, dhost, n, n_frames)
 
-        for row, k in enumerate(CHUNK_KEYS):
-            series.setdefault(k, []).append(packed[row, :n])
-        n_frames += n
         first = False
         if rhost.y.shape[0] != dhost.y.shape[0]:
             break  # one stream ended mid-batch: stop at the common prefix
 
+    flush(combined["acc"] if combined is not None and pending is not None
+          else None)
     return {k: np.concatenate(v) for k, v in series.items()}, n_frames
 
 

@@ -96,6 +96,74 @@ def test_vif_tail_kernel_matches_chain(rng, h, w):
         )
 
 
+@pytest.mark.parametrize("h,w", [(64, 96), (56, 70), (130, 170)])
+def test_vif_tail_raw_matches_dec_input_tail(rng, h, w):
+    """Round 4b: the raw-luma tail (in-kernel scale-1 decimation,
+    quality_fused_pallas(emit_dec=False) peer) must match the dec-input
+    tail fed by the fused kernel's stage 6 to f32 sum-order noise (the
+    decimation is the same band structure either way; raw mode chunks
+    scale 1 at ch=32 vs 64, reordering the num/den partial sums) — and
+    the XLA oracle."""
+    from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+    from rtvqa_tpu.kernels.vif_pallas import vif_tail_pallas
+
+    ref, dis = make_pair(rng, b=2, h=h, w=w)
+    ry = ref.astype(np.uint8)
+    dy = dis.astype(np.uint8)
+    expected = vif_features(ry.astype(np.float32), dy.astype(np.float32))
+
+    got_raw = vif_tail_pallas(
+        ry, dy, interpret=True, fast3=False, h=h, w=w, raw=True
+    )
+    h2, w2 = h // 2, w // 2
+    ru = rng.integers(0, 256, (2, h2, w2), np.uint8)
+    fq = quality_fused_pallas(
+        ry, ru, ru, dy, ru, ru, np.zeros((h, w), np.float32),
+        interpret=True, crop=False, fast3=False,
+    )
+    got_dec = vif_tail_pallas(
+        fq["dec_ref"], fq["dec_dis"], interpret=True, fast3=False,
+        h=(h + 1) // 2, w=(w + 1) // 2,
+    )
+    for k in (1, 2, 3):
+        key = f"vif_scale{k}"
+        np.testing.assert_allclose(
+            np.asarray(got_raw[key]), np.asarray(got_dec[key]), rtol=1e-5,
+            err_msg=f"{key} raw tail vs dec-input tail",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_raw[key]), np.asarray(expected[key]), rtol=3e-4,
+            err_msg=f"{key} raw tail vs oracle",
+        )
+
+
+def test_fused_quality_emit_dec_false_matches(rng):
+    """emit_dec=False must leave every scalar output identical (the dec
+    stage only feeds the dec outputs)."""
+    from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+
+    ref, dis = make_pair(rng, b=2, h=64, w=96)
+    ry, dy = ref.astype(np.uint8), dis.astype(np.uint8)
+    ru = rng.integers(0, 256, (2, 32, 48), np.uint8)
+    full = quality_fused_pallas(
+        ry, ru, ru, dy, ru, ru, np.zeros((64, 96), np.float32),
+        interpret=True, fast3=False,
+    )
+    lean = quality_fused_pallas(
+        ry, ru, ru, dy, ru, ru, np.zeros((64, 96), np.float32),
+        interpret=True, fast3=False, emit_dec=False,
+    )
+    assert "dec_ref" not in lean
+    for k in ("vif_scale0", "sse_y", "sse_u", "sse_v", "ssim_y_sum",
+              "ssim_u_sum", "ssim_v_sum", "sad_sum"):
+        np.testing.assert_array_equal(
+            np.asarray(full[k]), np.asarray(lean[k]), err_msg=k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(full["blur_carry"]), np.asarray(lean["blur_carry"])
+    )
+
+
 def test_vif_tail_kernel_fast3_tracks_exact(rng):
     from rtvqa_tpu.kernels.vif_pallas import vif_scale0_pallas, vif_tail_pallas
 

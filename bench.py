@@ -474,7 +474,13 @@ def run_validate(out_path: str) -> int:
         checks.append({"name": name, "max_rel_err": rel, "tol": tol, "pass": rel <= tol})
         print(f"[validate] {name}: max_rel_err={rel:.3g} tol={tol}", flush=True)
 
-    for label, (h, w, b) in (("1080p", (1080, 1920, 4)), ("4k", (2160, 3840, 2))):
+    # 1440p exercises the 2048 < w < 3000 band (ADM strip-24 + f32 staging
+    # fallback — ADVICE r3: previously untested on hardware); its w > 2048
+    # rightly skips the fused-kernel section (production routes it to the
+    # split composition, like 4K).
+    for label, (h, w, b) in (("1080p", (1080, 1920, 4)),
+                             ("1440p", (1440, 2560, 2)),
+                             ("4k", (2160, 3840, 2))):
         rng = np.random.default_rng(7)
         ry = rng.integers(0, 256, (b, h, w), np.uint8)
         dy = np.clip(

@@ -1021,6 +1021,15 @@ def vif_tail_pallas(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # Raw mode in EXACT (f32) precision overflows Mosaic's default 16 MB
+        # scoped-vmem budget at 1080p (22.65 MB measured on v5e — the f32
+        # chunk temporaries are ~2x the bf16 fast3 ones; the production
+        # fast3 path fits). The chip has 128 MB of VMEM — raise the budget
+        # like the motion kernel does rather than shrink chunks (which
+        # costs halo-overlap recompute per chunk).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ) if raw else None,
         interpret=interpret,
     )(ref_p, dis_p, *band_ins)
 

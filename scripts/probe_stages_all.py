@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
 import probe_quality_stages

@@ -458,11 +458,14 @@ def _adm0_kernel(
         (out_rows >= top) & (out_rows < h2 - top)
         & (j >= left) & (j < w2 - left)
     )
-    # Fold the crop mask into the threshold ONCE (+LARGE makes the num
-    # hinge exactly 0 outside the crop — bit-identical to the where form,
-    # 1 shared op instead of one `where` per band); the den CSF factor is
-    # a per-band constant, pulled out of the cube as a post-sum scalar
-    # (|o*f|^3 == |o|^3 * f^3 up to one f32 rounding).
+    # Fold the crop mask into the threshold ONCE: the 1e30 sentinel makes
+    # the num hinge exactly 0 outside the crop PROVIDED |rst*f| stays well
+    # below 1e30 (true by construction: inputs are uint8-derived, |rst*f|
+    # < 1e6); the den CSF factor is a per-band constant, pulled out of the
+    # cube as a post-sum scalar. NOTE this reassociates the den pooling —
+    # sum(|o|^3)*f^3 instead of libvmaf's sum(|o*f|^3) — so per-ELEMENT
+    # roundings differ (validated ≤2e-5 on device; deliberate divergence,
+    # recorded in docs/PARITY.md).
     w_thr = jnp.where(valid, thr, 1e30)
 
     def pool(rst, orig, f):

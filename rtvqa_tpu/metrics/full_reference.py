@@ -412,15 +412,20 @@ def _quality_chunk_loop(ref_it, dis_it, chunk, vif_egl, adm_egl, tap,
     # 137.8 -> 115.5 ms, complexity 77.3 -> 53.9 ms per 128x1080p rep).
     # The device carries (blur, tails) feed the next dispatch WITHOUT
     # materialization, so only the packed fetch is deferred. Depth 1 keeps
-    # at most two programs in flight (CLAUDE.md: deeper concurrent dispatch
-    # has crashed the tunnel worker).
+    # at most two programs in flight and is a HARD cap (ADVICE r4 #3):
+    # deeper concurrent dispatch has crashed the tunnel worker (CLAUDE.md),
+    # and unlike bench.py this streaming loop has no fresh-subprocess retry
+    # — a poisoned worker here loses the whole analysis, not one rep.
     pending = None  # (packed_dev_or_host, n, timestamps_or_None)
 
     def flush(acc=None):
-        nonlocal n_frames
+        # A double flush is a no-op by construction (ADVICE r4 #1): pending
+        # is consumed here, not at the call sites.
+        nonlocal n_frames, pending
         if pending is None:
             return
         packed_h, pn, ts = pending
+        pending = None
         packed_h = np.asarray(packed_h)
         if acc is not None:
             acc.add_packed(packed_h[len(CHUNK_KEYS):, :pn], ts)

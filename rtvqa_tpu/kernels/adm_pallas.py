@@ -494,13 +494,14 @@ def _adm0_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "egl", "interpret", "stages", "h", "w", "crop",
-                     "ext_bands"),
+                     "ext_bands", "wide_strip", "wide_raw"),
 )
 def adm_scale_pallas(
     ref_y: jnp.ndarray, dis_y: jnp.ndarray, scale: int = 0,
     egl=None, interpret: bool = False, stages: int = 6,
     h: int | None = None, w: int | None = None, crop: bool = True,
-    ext_bands: bool = True,
+    ext_bands: bool = True, wide_strip: int | None = None,
+    wide_raw: bool = True,
 ):
     """Fused ADM at one scale over (B, H, W) luma (the scale's approximation
     band — the original luma at scale 0).
@@ -528,12 +529,14 @@ def adm_scale_pallas(
     # per-cell-overhead-bound — don't re-derive this.
     if w > 2048:
         # Wide frames (1440p/4K class): kernel stack temporaries scale with
-        # strip x lanes — strip 24 overflows the 16 MB scoped-VMEM stack
-        # budget (24.7 MB f32 / 21.9 MB raw-int8 at 3840 lanes, measured
-        # 2026-08-18 on v5e; ~16.5 MB extrapolated at 2560). The threshold
-        # matches the raw-int8 staging gate below so the whole >2048 band
-        # runs strip 8 + f32 staging (ADVICE r3 #1).
-        strip = 8
+        # strip x lanes — strip 24 overflows the DEFAULT 16 MB scoped-VMEM
+        # stack budget (24.7 MB f32 / 21.9 MB raw-int8 at 3840 lanes,
+        # measured 2026-08-18 on v5e). Round 5 raises the budget to 64 MB
+        # at wide widths (the chip has 128 MB; the raw vif_tail already
+        # runs at 32 MB), so the 1536-2048 band's strip 24 + raw-int8
+        # staging carries over. ``wide_strip`` overrides for on-device A/B
+        # (8 = the round-3/4 config).
+        strip = wide_strip or 24
     elif w >= 1536:
         # 24 (not 32): the raw-input kernel carries three column band
         # matrices (interior + both lane-mirror edges) and a 16-row DMA
@@ -561,13 +564,12 @@ def adm_scale_pallas(
     pad_lanes = _round_up(w_in, 128) - w_in
 
     ref_y, dis_y = unify_pair(ref_y, dis_y)
-    if _round_up(w_in, 128) > 2048 and ref_y.dtype == jnp.uint8:
-        # Raw-int8 staging is gated to widths <= 2048: at 4K the in-VMEM
-        # int8->f32 value rebuilds add full-strip f32 stack copies on top
-        # of this kernel's own temporaries and overflow the 16 MB
-        # scoped-VMEM stack budget (measured 21.9 MB, 2026-08-18). f32
-        # staging (the pre-3i dataflow) compiles and validates at 4K; the
-        # astype cost at 4K is dwarfed by the kernel itself.
+    if (_round_up(w_in, 128) > 2048 and ref_y.dtype == jnp.uint8
+            and not wide_raw):
+        # wide_raw=False restores the round-3/4 wide config: f32 staging
+        # (the raw-int8 in-VMEM rebuild's full-strip f32 stack copies
+        # overflowed the DEFAULT 16 MB scoped budget at 3840 lanes —
+        # measured 21.9 MB; the round-5 64 MB wide budget holds it).
         ref_y = ref_y.astype(jnp.float32)
         dis_y = dis_y.astype(jnp.float32)
     ref_p = stage_raw(ref_y, pad_rows, pad_lanes)
@@ -649,6 +651,11 @@ def adm_scale_pallas(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # Round 5: wide frames run strip 24 + raw-int8 under a raised
+        # scoped-VMEM budget (see the strip comment above).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ) if w > 2048 else None,
         interpret=interpret,
     )(*inputs)
 
@@ -961,6 +968,12 @@ def adm_tail_pallas(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # Wide scale-1 inputs (4K-class, round 5): the whole-frame staging
+        # is ~17 MB alone — raise the scoped-VMEM budget past the 16 MB
+        # default (the chip has 128 MB).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ) if warr1 > 1024 else None,
         interpret=interpret,
     )(ref_p, dis_p, *band_ins)
 

@@ -610,12 +610,12 @@ def _fused_q_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("egl", "interpret", "fast3", "crop", "stages",
-                     "ext_bands", "emit_dec"),
+                     "ext_bands", "emit_dec", "wide_strip"),
 )
 def quality_fused_pallas(
     ry, ru, rv, dy, du, dv, prev_blur, egl=None, interpret: bool = False,
     fast3=None, crop: bool = True, stages: int = 6, ext_bands: bool = True,
-    emit_dec: bool = True,
+    emit_dec: bool = True, wide_strip: int | None = None,
 ):
     """Fused VIF-scale-0 + program-A over YUV420 batches.
 
@@ -644,9 +644,12 @@ def quality_fused_pallas(
     """
     b, h, w = ry.shape
     h2, w2 = ru.shape[-2], ru.shape[-1]
-    # VMEM scales with strip x width: 32 rows fits 1080p-class widths in
-    # the 16 MB scoped budget, 4K needs 16-row strips.
-    strip = STRIP if w <= 2048 else STRIP // 2
+    # VMEM scales with strip x width: 32 rows fits 1080p-class widths in the
+    # default 16 MB scoped budget. Wider frames (1440p/4K) keep 16-row strips
+    # and RAISE the scoped budget instead (round 5 — measured 17.0 MB at
+    # 3840 lanes/strip 16; the chip has 128 MB of VMEM and the tail kernels
+    # already run at 32 MB). ``wide_strip`` overrides for on-device A/B.
+    strip = STRIP if w <= 2048 else (wide_strip or STRIP // 2)
     while strip > 8 and strip + 16 > h:
         strip //= 2  # raw-input DMA window must fit the array rows
     n_strips = -(-h // strip)
@@ -799,6 +802,12 @@ def quality_fused_pallas(
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # Wide frames (w > 2048) exceed Mosaic's default 16 MB scoped-VMEM
+        # budget (17.0 MB at 3840 lanes / strip 16) — raise it like the raw
+        # vif_tail does; 64 MB also covers strip-24/32 A/B configs.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ) if w > 2048 else None,
         interpret=interpret,
     )(*inputs)
 

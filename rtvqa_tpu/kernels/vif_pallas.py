@@ -1026,10 +1026,11 @@ def vif_tail_pallas(
         # chunk temporaries are ~2x the bf16 fast3 ones; the production
         # fast3 path fits). The chip has 128 MB of VMEM — raise the budget
         # like the motion kernel does rather than shrink chunks (which
-        # costs halo-overlap recompute per chunk).
+        # costs halo-overlap recompute per chunk). Wide inputs (4K-class
+        # scale-1 frames, round 5) stage ~23 MB of scratch — 64 MB.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
-        ) if raw else None,
+            vmem_limit_bytes=(64 if w1_arr > 1024 else 32) * 1024 * 1024
+        ) if raw or w1_arr > 1024 else None,
         interpret=interpret,
     )(ref_p, dis_p, *band_ins)
 

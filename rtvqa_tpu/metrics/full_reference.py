@@ -147,22 +147,28 @@ _VIF_TAIL_MODE = os.environ.get("RTVQA_VIF_TAIL", "tail")
 
 def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
                      vif_egl, adm_egl, fast3=None, vif_tail=None,
-                     adm_tail=None):
+                     adm_tail=None, interpret: bool = False):
     """TPU body of ``_program_chunk``: program A (PSNR/SSIM/motion) rides
     INSIDE the fused VIF scale-0 Pallas kernel (kernels.quality_pallas —
     round 3; program A as a standalone XLA program cost 0.10 s of the 0.37 s
     quality phase, VERDICT r2 next #2), VIF scales 1-3 run as ONE per-frame
     tail kernel on its decimated outputs (round 4), ADM runs as the fused
-    Pallas kernels."""
+    Pallas kernels.
+
+    ``interpret``: run the Pallas kernels in interpret mode — lets the
+    multi-chip sharded body (``parallel.sharding.sharded_quality_chunk_step``
+    with ``impl="fused"``) be CPU-tested under shard_map (round 5)."""
     from rtvqa_tpu.kernels.adm_pallas import adm_features_pallas
     from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
     from rtvqa_tpu.kernels.vif_pallas import vif_scale_pallas, vif_tail_pallas
 
-    if ry.shape[-1] > 2048:
-        # 4K-class widths exceed the fused kernel's 16 MB VMEM budget even at
-        # 16-row strips (measured 17.0 MB at 3840 lanes) and would need 8-row
-        # strips whose per-cell overhead erases the fusion win — keep the
-        # round-2 composition (XLA program A + fused Pallas VIF/ADM) there.
+    if ry.shape[-1] > 3840:
+        # Beyond the validated 4K band: keep the round-2 composition (XLA
+        # program A + fused Pallas VIF/ADM). Until round 5 this gate sat at
+        # 2048 — the fused kernel's strip-16 config measured 17.0 MB of
+        # scoped VMEM at 3840 lanes, over Mosaic's DEFAULT 16 MB budget;
+        # raising the budget (the chip has 128 MB) unlocked 1440p/4K
+        # (VERDICT r4 next #2).
         pa, blur = _program_a(ry, ru, rv, dy, du, dv, prev_blur, has_prev)
         pb = _program_b(ry, dy, vif_egl=vif_egl, adm_egl=adm_egl, fast3=fast3)
         return jnp.concatenate([pa, pb], axis=0), blur
@@ -177,11 +183,12 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
     # 140.1 vs 136.8 ms median at 128x1080p, scripts/probe_raw_tail_ab.py —
     # the per-chunk int8->f32 window rebuilds eat the saved stage), so the
     # dec-input tail stays the default; kept for wider-VMEM future parts.
+    # Gated to w <= 2048 (untested at wide widths).
     raw_tail = (vif_tail and ry.dtype == jnp.uint8
-                and _VIF_TAIL_MODE == "raw")
+                and _VIF_TAIL_MODE == "raw" and w <= 2048)
     fq = quality_fused_pallas(
         ry, ru, rv, dy, du, dv, prev_blur, egl=vif_egl, fast3=fast3,
-        crop=False, emit_dec=not raw_tail,
+        crop=False, emit_dec=not raw_tail, interpret=interpret,
     )
     h2, w2 = ru.shape[-2], ru.shape[-1]
     n_y = h * w
@@ -217,11 +224,12 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
         # RTVQA_VIF_TAIL=chain restores the per-scale chain.
         out.update(vif_tail_pallas(
             ry, dy, egl=vif_egl, fast3=fast3, h=h, w=w, raw=True,
+            interpret=interpret,
         ))
     elif vif_tail:
         out.update(vif_tail_pallas(
             fq["dec_ref"], fq["dec_dis"], egl=vif_egl, fast3=fast3,
-            h=hs, w=ws,
+            h=hs, w=ws, interpret=interpret,
         ))
     else:
         # Chain the VIF scales on the kernels' block-padded dec outputs
@@ -230,7 +238,7 @@ def _chunk_fused_tpu(ry, ru, rv, dy, du, dv, prev_blur, has_prev,
         for scale in (1, 2, 3):
             v, ref, dis = vif_scale_pallas(
                 ref, dis, scale, egl=vif_egl, fast3=fast3, h=hs, w=ws,
-                crop=False,
+                crop=False, interpret=interpret,
             )
             hs, ws = (hs + 1) // 2, (ws + 1) // 2
             out[f"vif_scale{scale}"] = v

@@ -190,6 +190,7 @@ def run_sweep_sharded(
                     qual = analyze_full_reference_sharded(
                         video, encoded[(video, crf)], mesh=quality_mesh,
                         vmaf_model_path=config.vmaf_model_path,
+                        quality_precision=config.quality_precision,
                     )
                     if qual["n_frames"] > 0:
                         row = rows[(video, crf)]

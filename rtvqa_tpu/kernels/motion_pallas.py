@@ -126,33 +126,50 @@ def _bm_kernel(
     out_ref[0, s, :] = jnp.full((128,), sum_mag, jnp.float32)
 
 
-def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
-    """Invoke the kernel on lane-aligned, pre-padded band arrays.
+def _bm_grid_config(wq, hb, block, radius):
+    """(kb, n_strips, hb2) for a band of wq lanes and hb valid rows.
 
-    curr_p: (B, hb, wq); prev_p: (B, hb + 2r, wp) with wp >= wq + 2r and the
-    horizontal/vertical halos already filled (real neighbor data for interior
-    band edges, edge replication at frame borders)."""
-    b = curr_p.shape[0]
-    wq = curr_p.shape[2]
+    Block-rows per grid cell: taller cells amortize the ~15-25 us Mosaic
+    grid + DMA cost (the half-res pyramid search was overhead-bound at
+    kb=4), but the unrolled displacement loop's scoped-VMEM temporaries
+    scale with side x cell-rows x lanes: kb=8/block=16/r=8 at 2048 lanes
+    (4.45M units) measured 78 MB > the 64 MB budget, while the known-good
+    configs sit at <= 2.2M units (kb=4 full-res) and 1.18M (kb=16
+    half-res). Budget on that unit product — NOT on block alone: a direct
+    full-radius call with small blocks (block=8, r=8, 1920 lanes) must
+    stay at kb=4, only the halved-radius pyramid shapes afford kb=16.
+    """
     n_blockrows = hb // block
-    # Block-rows per grid cell: taller cells amortize the ~15-25 us Mosaic
-    # grid + DMA cost (the half-res pyramid search was overhead-bound at
-    # kb=4), but the unrolled displacement loop's scoped-VMEM temporaries
-    # scale with side x cell-rows x lanes: kb=8/block=16/r=8 at 2048 lanes
-    # (4.45M units) measured 78 MB > the 64 MB budget, while the known-good
-    # configs sit at <= 2.2M units (kb=4 full-res) and 1.18M (kb=16
-    # half-res). Budget on that unit product — NOT on block alone: a direct
-    # full-radius call with small blocks (block=8, r=8, 1920 lanes) must
-    # stay at kb=4, only the halved-radius pyramid shapes afford kb=16.
     side_u = 2 * radius + 1
     budget_kb = 3_000_000 // max(side_u * block * wq, 1)
     kb = 16 if budget_kb >= 16 else (4 if budget_kb >= 4 else max(1, budget_kb))
     kb = min(kb, n_blockrows)
     n_strips = -(-n_blockrows // kb)
-    hb2 = n_strips * kb * block
-    if hb2 > hb:  # ragged: pad rows (masked out in-kernel via n_blockrows)
-        curr_p = jnp.pad(curr_p, ((0, 0), (0, hb2 - hb), (0, 0)), mode="edge")
-        prev_p = jnp.pad(prev_p, ((0, 0), (0, hb2 - hb), (0, 0)), mode="edge")
+    return kb, n_strips, n_strips * kb * block
+
+
+def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
+    """Invoke the kernel on lane-aligned, pre-padded band arrays.
+
+    curr_p: (B, hb, wq); prev_p: (B, hb + 2r, wp) with wp >= wq + 2r and the
+    horizontal/vertical halos already filled (real neighbor data for interior
+    band edges, edge replication at frame borders). Callers may pass arrays
+    already row-padded to the grid height hb2 (fused-pad prep, round 5) —
+    detected by shape, skipping the internal ragged pad."""
+    b = curr_p.shape[0]
+    wq = curr_p.shape[2]
+    n_blockrows = hb // block
+    kb, n_strips, hb2 = _bm_grid_config(wq, hb, block, radius)
+    if hb2 > curr_p.shape[1]:  # ragged: pad rows (masked via n_blockrows)
+        curr_p = jnp.pad(
+            curr_p, ((0, 0), (0, hb2 - curr_p.shape[1]), (0, 0)), mode="edge"
+        )
+    if hb2 + 2 * radius > prev_p.shape[1]:
+        prev_p = jnp.pad(
+            prev_p,
+            ((0, 0), (0, hb2 + 2 * radius - prev_p.shape[1]), (0, 0)),
+            mode="edge",
+        )
     rows = kb * block + 2 * radius
     out = pl.pallas_call(
         functools.partial(
@@ -208,12 +225,40 @@ def block_match_motion_pallas(
     curr = curr_gray[:, :hb, :wb].astype(jnp.float32)
     prev = prev_gray[:, :hb, :wb].astype(jnp.float32)
 
+    BAND = 2048
+    if wb <= BAND:
+        # Single-band fast path (every production shape except full-res 4K
+        # search): build each kernel operand with ONE fused jnp.pad — halo,
+        # lane alignment, and the ragged-grid row pad together. Edge-mode
+        # pads compose, so this is bitwise-identical to the old sequential
+        # form (halo pad -> band lane pad -> ragged row pads; tests/
+        # test_motion_pallas.py + on-device eq). On-device A/B (round 5,
+        # scripts/probe_pyramid_stages.py): NEUTRAL — pyramid 54.9 old vs
+        # 55.9 new ms incl. ~29 ms floor, suite 74.2 vs 76.0, overlapping
+        # reps. XLA had already fused the sequential pads; VERDICT r4's
+        # "~12 ms pads/overheads" line was session variance, not pad
+        # copies. The fused form is kept as the simpler expression (one
+        # pad per operand), not as a perf win.
+        wq = _round_up(wb, 128)
+        wp = _round_up(wq + 2 * radius, 128)
+        _, _, hb2 = _bm_grid_config(wq, hb, block, radius)
+        curr_p = curr
+        if hb2 > hb or wq > wb:
+            curr_p = jnp.pad(
+                curr, ((0, 0), (0, hb2 - hb), (0, wq - wb)), mode="edge"
+            )
+        prev_p = jnp.pad(
+            prev,
+            ((0, 0), (radius, radius + hb2 - hb), (radius, wp - wb - radius)),
+            mode="edge",
+        )
+        return _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius,
+                               interpret)
+
     # Full-frame halo: pad prev by r with edge replication (vertically and
     # horizontally); bands slice real halo data out of this array.
     prev_full = jnp.pad(prev, ((0, 0), (radius, radius), (radius, radius)),
                         mode="edge")
-
-    BAND = 2048
     n_blocks_total = wb // block
     band_means = []
     band_weights = []

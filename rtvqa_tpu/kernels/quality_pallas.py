@@ -645,11 +645,13 @@ def quality_fused_pallas(
     b, h, w = ry.shape
     h2, w2 = ru.shape[-2], ru.shape[-1]
     # VMEM scales with strip x width: 32 rows fits 1080p-class widths in the
-    # default 16 MB scoped budget. Wider frames (1440p/4K) keep 16-row strips
-    # and RAISE the scoped budget instead (round 5 — measured 17.0 MB at
-    # 3840 lanes/strip 16; the chip has 128 MB of VMEM and the tail kernels
-    # already run at 32 MB). ``wide_strip`` overrides for on-device A/B.
-    strip = STRIP if w <= 2048 else (wide_strip or STRIP // 2)
+    # default 16 MB scoped budget. Wider frames (1440p/4K) keep 32-row
+    # strips and RAISE the scoped budget instead (round 5 — strip 16 at
+    # 3840 lanes measured 17.0 MB, strip 32 ~2x that, both far under the
+    # chip's 128 MB; on-device A/B at 4K: strip 32 = 76.7 ms/16-frame chunk
+    # vs strip 16 = 83.7 (scripts/probe_wide_fused.py q/4k/fused_s32) —
+    # fewer grid cells win). ``wide_strip`` overrides for on-device A/B.
+    strip = STRIP if w <= 2048 else (wide_strip or STRIP)
     while strip > 8 and strip + 16 > h:
         strip //= 2  # raw-input DMA window must fit the array rows
     n_strips = -(-h // strip)

@@ -68,7 +68,14 @@ from rtvqa_tpu.vmaf.motion import FILTER_5
 _SSIM_C1 = int(0.01 * 0.01 * 255 * 255 * 64 + 0.5)  # 416 (x264 integer form)
 _SSIM_C2 = int(0.03 * 0.03 * 255 * 255 * 64 * 63 + 0.5)  # 235963
 
-STRIP = 32
+STRIP = 32  # tallest strip that fits Mosaic's DEFAULT 16 MB scoped-VMEM
+# budget at 1080p widths — the vmem_limit_bytes raise below is keyed to it.
+DEFAULT_STRIP = 48  # round-5 production default: on-device A/B at all three
+# production widths (probes/STRIP_AB_r05.json, depth-1 pipelined, 5 reps,
+# within one session) — 1080p chunk 128: s32 112.6 / s48 108.2 / s64 111.6
+# ms; 1440p chunk 36: 54.3 / 52.1 / 55.0; 4K chunk 16: 52.7 / 50.9 / 53.1.
+# 48 wins ~3-4% everywhere (fewer grid cells under the raised budget);
+# 64 is neutral-to-worse. Numerics vs s32 <= 3.3e-7 on device.
 HALO = 8  # 17-tap VIF moment filter half-width; >= blur (2) and SSIM (4)
 
 # Packed per-cell scalar lanes.
@@ -122,16 +129,18 @@ def _pool4_lane_band(sw: int, delta: int):
     return m
 
 
-def _ssim_row_band_y(ro, rows, nbr_y):
+def _ssim_row_band_y(ro, rows, nbr_y, st_y=16):
     """Luma SSIM row-pooling band (see the kernel docstring): out row
-    o = m * 16 + br sums 4 buffer rows of stacked moment m starting at
+    o = m * st_y + br sums 4 buffer rows of stacked moment m starting at
     buffer row ro + 4*br; moment 2 sums both the r^2 and d^2 segments.
-    ``ro`` may be traced (in-kernel path) or static (build_ssim_bands)."""
-    shape = (64, 5 * rows)
+    ``ro`` may be traced (in-kernel path) or static (ext-bands path).
+    ``st_y`` (static) is the per-moment row stride — 16 covers strips up
+    to 60 rows (nbr_y + halo row <= 15); taller strips use 32 (round 5)."""
+    shape = (4 * st_y, 5 * rows)
     o_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     l_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    m_ids = o_ids // 16
-    br = o_ids % 16
+    m_ids = o_ids // st_y
+    br = o_ids % st_y
     seg_of_m = jnp.where(
         m_ids == 0, 0, jnp.where(m_ids == 1, 1, jnp.where(m_ids == 2, 2, 4))
     )
@@ -145,13 +154,15 @@ def _ssim_row_band_y(ro, rows, nbr_y):
     return band
 
 
-def _ssim_row_band_c(crows, nbr_c):
-    """Chroma SSIM row-pooling band: 8 moments (u x4 then v x4), static."""
-    shape = (64, 8 * crows)
+def _ssim_row_band_c(crows, nbr_c, st_c=8):
+    """Chroma SSIM row-pooling band: 8 moments (u x4 then v x4), static.
+    ``st_c`` is the per-moment row stride — 8 covers chroma strips up to
+    28 rows (nbr_c + halo row <= 7); taller strips use 16 (round 5)."""
+    shape = (8 * st_c, 8 * crows)
     o_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     l_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    m_ids = o_ids // 8
-    br = o_ids % 8
+    m_ids = o_ids // st_c
+    br = o_ids % st_c
     base = m_ids * crows + 4 * br
     band = None
     for t in range(4):
@@ -248,12 +259,16 @@ def _ssim_from_windows(win, br_mod, n_br_valid, wr_base, n_win_rows, n_win_cols)
 
     ``wr_base`` = first global window row of this strip; window row
     ``wr_base + br`` is valid when br < n_br_valid and the global row is
-    < n_win_rows; window col < n_win_cols.
+    < n_win_rows; window col < n_win_cols. The slice height is static:
+    8 rows for the default 32-row strips, rounded up to the next sublane
+    multiple for taller strips (round 5 — n_br_valid < br_mod always, so
+    the halo row the pre-roll needed stays inside the moment's stride).
     """
-    s1 = win[0 * br_mod : 0 * br_mod + 8]
-    s2 = win[1 * br_mod : 1 * br_mod + 8]
-    ss = win[2 * br_mod : 2 * br_mod + 8]
-    s12 = win[3 * br_mod : 3 * br_mod + 8]
+    n_take = max(8, -(-n_br_valid // 8) * 8)
+    s1 = win[0 * br_mod : 0 * br_mod + n_take]
+    s2 = win[1 * br_mod : 1 * br_mod + n_take]
+    ss = win[2 * br_mod : 2 * br_mod + n_take]
+    s12 = win[3 * br_mod : 3 * br_mod + n_take]
     vars_ = ss * 64.0 - s1 * s1 - s2 * s2
     covar = s12 * 64.0 - s1 * s2
     num = (2.0 * s1 * s2 + _SSIM_C1) * (2.0 * covar + _SSIM_C2)
@@ -462,9 +477,11 @@ def _fused_q_kernel(
     # r^2 + d^2 (ones in two segments). Block row br starts at buffer row
     # ro + 4*br (per-strip static in the ext-bands stack).
     nbr_y = strip // 4  # window rows per strip (block rows minus halo)
+    st_y = 16 if nbr_y + 1 <= 16 else 32  # per-moment row stride (static)
 
     ssim_band_y = (
-        ssim_y_b[0] if plans is not None else _ssim_row_band_y(ro, rows, nbr_y)
+        ssim_y_b[0] if plans is not None
+        else _ssim_row_band_y(ro, rows, nbr_y, st_y)
     )
     if int_exact:
         # stacked holds integers <= 255^2 < 2^16 -> 2 exact bf16 passes;
@@ -485,7 +502,7 @@ def _fused_q_kernel(
     win_y = bs_y + _roll2(bs_y, -1, 0)
     win_y = win_y + _roll2(win_y, 0, -1)
     ssim_y_sum = _ssim_from_windows(
-        win_y, 16, nbr_y, nbr_y * s, h // 4 - 1, w // 4 - 1
+        win_y, st_y, nbr_y, nbr_y * s, h // 4 - 1, w // 4 - 1
     )
 
     # --- program A, chroma: SSE + SSIM for U and V --------------------------
@@ -516,9 +533,11 @@ def _fused_q_kernel(
     )
 
     nbr_c = cstrip // 4
+    st_c = 8 if nbr_c + 1 <= 8 else 16
 
     ssim_band_c = (
-        ssim_c_b[...] if plans is not None else _ssim_row_band_c(crows, nbr_c)
+        ssim_c_b[...] if plans is not None
+        else _ssim_row_band_c(crows, nbr_c, st_c)
     )
     if c_int_exact:
         row_pooled_c = _dot_int_rows(ssim_band_c, stacked_c, 2)
@@ -537,10 +556,11 @@ def _fused_q_kernel(
     win_c = bs_c + _roll2(bs_c, -1, 0)
     win_c = win_c + _roll2(win_c, 0, -1)
     ssim_u_sum = _ssim_from_windows(
-        win_c[0:32], 8, nbr_c, nbr_c * s, h2 // 4 - 1, w2 // 4 - 1
+        win_c[0 : 4 * st_c], st_c, nbr_c, nbr_c * s, h2 // 4 - 1, w2 // 4 - 1
     )
     ssim_v_sum = _ssim_from_windows(
-        win_c[32:64], 8, nbr_c, nbr_c * s, h2 // 4 - 1, w2 // 4 - 1
+        win_c[4 * st_c : 8 * st_c], st_c, nbr_c, nbr_c * s,
+        h2 // 4 - 1, w2 // 4 - 1
     )
 
     if stages <= 4:
@@ -645,15 +665,19 @@ def quality_fused_pallas(
     b, h, w = ry.shape
     h2, w2 = ru.shape[-2], ru.shape[-1]
     # VMEM scales with strip x width: 32 rows fits 1080p-class widths in the
-    # default 16 MB scoped budget. Wider frames (1440p/4K) keep 32-row
-    # strips and RAISE the scoped budget instead (round 5 — strip 16 at
-    # 3840 lanes measured 17.0 MB, strip 32 ~2x that, both far under the
-    # chip's 128 MB; on-device A/B at 4K: strip 32 = 76.7 ms/16-frame chunk
-    # vs strip 16 = 83.7 (scripts/probe_wide_fused.py q/4k/fused_s32) —
-    # fewer grid cells win). ``wide_strip`` overrides for on-device A/B.
-    strip = STRIP if w <= 2048 else (wide_strip or STRIP)
+    # default 16 MB scoped budget; anything taller or wider RAISES the
+    # scoped budget instead (the chip has 128 MB — strip 16 at 3840 lanes
+    # measured 17.0 MB). Production default = 48-row strips at EVERY width:
+    # fewer grid cells win ~3-4% over 32 at 1080p/1440p/4K and 64 gives it
+    # back (see the DEFAULT_STRIP A/B table above; earlier waypoints: 4K
+    # strip 32 = 76.7 ms/16-frame chunk vs strip 16 = 83.7,
+    # scripts/probe_wide_fused.py). ``wide_strip`` overrides for A/B.
+    strip = wide_strip or DEFAULT_STRIP
     while strip > 8 and strip + 16 > h:
-        strip //= 2  # raw-input DMA window must fit the array rows
+        # Raw-input DMA window must fit the array rows. Step down through
+        # sublane multiples (48 -> 24 -> 8): strip must stay % 8 == 0 (the
+        # chroma strip is strip//2 and block rows are strip//4).
+        strip = max(8, (strip // 2) // 8 * 8)
     n_strips = -(-h // strip)
     h_pad = n_strips * strip
     rows = strip + 16
@@ -733,15 +757,17 @@ def quality_fused_pallas(
         # indexed by s. The chroma band and the pool4 lane bands are
         # strip-invariant.
         nbr_y = strip // 4
+        st_y = 16 if nbr_y + 1 <= 16 else 32
+        st_c = 8 if cstrip // 4 + 1 <= 8 else 16
         ssim_y_bands = jnp.stack([
             _ssim_row_band_y(
                 s * strip
                 - min(max((s * strip - 8) // 8, 0), (h_arr - rows) // 8) * 8,
-                rows, nbr_y,
+                rows, nbr_y, st_y,
             )
             for s in range(n_strips)
         ])
-        ssim_c_band = _ssim_row_band_c(crows, cstrip // 4)
+        ssim_c_band = _ssim_row_band_c(crows, cstrip // 4, st_c)
         pool_y_bands, pool_y_plan, pool_y_sw = build_pool4_bands(
             w_arr, n_tiles_y, 0)
         pool_c_bands, pool_c_plan, pool_c_sw = build_pool4_bands(
@@ -808,8 +834,12 @@ def quality_fused_pallas(
         # budget (17.0 MB at 3840 lanes / strip 16) — raise it like the raw
         # vif_tail does; 64 MB also covers strip-24/32 A/B configs.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
-        ) if w > 2048 else None,
+            # strip 32 at 3840 lanes measured ~2x the 17 MB strip-16
+            # footprint; wide AND tall together need more headroom still
+            # (the chip has 128 MB).
+            vmem_limit_bytes=(96 if (w > 2048 and strip > STRIP) else 64)
+            * 1024 * 1024
+        ) if (w > 2048 or strip > STRIP) else None,
         interpret=interpret,
     )(*inputs)
 

@@ -163,3 +163,31 @@ def test_fused_quality_kernel_fast3(rng):
     assert not np.array_equal(
         np.asarray(fast["vif_scale0"]), np.asarray(exact["vif_scale0"])
     )
+
+
+@pytest.mark.parametrize("tall", [48, 64])
+def test_fused_quality_kernel_tall_strips_match_default(rng, tall):
+    """Round 5: ``wide_strip`` overrides at ANY width (the 1080p strip-height
+    A/B needs strips taller than the 32-row default under the raised 64 MB
+    scoped-VMEM budget). Taller strips only regroup the per-strip partial
+    sums, so every scalar output matches the default tightly and the
+    decimated planes match on the valid region."""
+    from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
+
+    h, w = 160, 128
+    ry, ru, rv, dy, du, dv = make_yuv(rng, b=2, h=h, w=w)
+    prev_blur = np.asarray(
+        filter1d_sep(rng.integers(0, 256, (h, w)).astype(np.float32), FILTER_5)
+    )
+    base = quality_fused_pallas(ry, ru, rv, dy, du, dv, prev_blur, interpret=True)
+    got = quality_fused_pallas(
+        ry, ru, rv, dy, du, dv, prev_blur, interpret=True, wide_strip=tall
+    )
+    hs, ws = (h + 1) // 2, (w + 1) // 2
+    for key in base:
+        b_v, g_v = np.asarray(base[key]), np.asarray(got[key])
+        if key in ("dec_ref", "dec_dis"):
+            b_v, g_v = b_v[:, :hs, :ws], g_v[:, :hs, :ws]
+        elif key == "blur_carry":
+            b_v, g_v = b_v[:h, :w], g_v[:h, :w]
+        np.testing.assert_allclose(g_v, b_v, rtol=1e-5, atol=1e-4, err_msg=key)

@@ -21,7 +21,12 @@ def make_yuv(rng, b=2, h=56, w=70):
     return ry, ru, rv, dy, du, dv
 
 
-@pytest.mark.parametrize("h,w", [(56, 70), (64, 96), (40, 128), (40, 2560)])
+#  - (56, 70)/(40, 128): the 48 -> 24 strip fallback leg (strip + 16 > h)
+#  - (24, 70): the final 24 -> 8 leg
+#  - (64, 96): full 48-row strips
+@pytest.mark.parametrize(
+    "h,w", [(56, 70), (64, 96), (40, 128), (24, 70), (40, 2560)]
+)
 def test_fused_quality_kernel_matches_xla(rng, h, w):
     from rtvqa_tpu.kernels.quality_pallas import quality_fused_pallas
 

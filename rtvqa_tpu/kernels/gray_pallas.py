@@ -112,21 +112,26 @@ def _gray_kernel(y_ref, u_ref, v_ref, bands_ref, rep_row_ref, out_ref,
     out_ref[0] = GRAY_R * r + GRAY_G * g + GRAY_B * b
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "strip"))
 def yuv420_to_gray_pallas(
-    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, interpret: bool = False,
+    strip: int | None = None,
 ) -> jnp.ndarray:
     """(B, H, W) + 2x (B, ceil(H/2), ceil(W/2)) uint8 -> (B, H, W) float32
-    gray, identical expression to :func:`ops.color.yuv420_to_gray`."""
+    gray, identical expression to :func:`ops.color.yuv420_to_gray`.
+
+    ``strip`` overrides the luma rows per grid cell (probe knob, round-5
+    strip-height sweeps; must be a multiple of 16 so the chroma strip
+    keeps >= 8 int8 sublanes)."""
     b, h, w = y.shape
     h2, w2 = u.shape[-2], u.shape[-1]
-    if _round_up(h, 8) < STRIP:
+    strip = strip or STRIP
+    if _round_up(h, 8) < strip:
         # int8 VMEM tiling needs >= 32 chroma sublanes per block; tiny
         # frames don't amortize a kernel launch anyway.
         from rtvqa_tpu.ops.color import yuv420_to_gray
 
         return yuv420_to_gray(y, u, v)
-    strip = STRIP
     cstrip = strip // 2
     n_strips = -(-h // strip)
     h_arr = n_strips * strip

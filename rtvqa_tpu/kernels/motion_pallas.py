@@ -126,8 +126,11 @@ def _bm_kernel(
     out_ref[0, s, :] = jnp.full((128,), sum_mag, jnp.float32)
 
 
-def _bm_grid_config(wq, hb, block, radius):
+def _bm_grid_config(wq, hb, block, radius, kb_over=None):
     """(kb, n_strips, hb2) for a band of wq lanes and hb valid rows.
+
+    ``kb_over`` overrides the block-rows-per-cell ladder (probe knob —
+    round-5 strip-height sweeps; still clamped to n_blockrows).
 
     Block-rows per grid cell: taller cells amortize the ~15-25 us Mosaic
     grid + DMA cost (the half-res pyramid search was overhead-bound at
@@ -142,13 +145,17 @@ def _bm_grid_config(wq, hb, block, radius):
     n_blockrows = hb // block
     side_u = 2 * radius + 1
     budget_kb = 3_000_000 // max(side_u * block * wq, 1)
-    kb = 16 if budget_kb >= 16 else (4 if budget_kb >= 4 else max(1, budget_kb))
+    if kb_over is not None:
+        kb = kb_over
+    else:
+        kb = 16 if budget_kb >= 16 else (4 if budget_kb >= 4 else max(1, budget_kb))
     kb = min(kb, n_blockrows)
     n_strips = -(-n_blockrows // kb)
     return kb, n_strips, n_strips * kb * block
 
 
-def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
+def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret,
+                    kb_over=None):
     """Invoke the kernel on lane-aligned, pre-padded band arrays.
 
     curr_p: (B, hb, wq); prev_p: (B, hb + 2r, wp) with wp >= wq + 2r and the
@@ -159,7 +166,7 @@ def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
     b = curr_p.shape[0]
     wq = curr_p.shape[2]
     n_blockrows = hb // block
-    kb, n_strips, hb2 = _bm_grid_config(wq, hb, block, radius)
+    kb, n_strips, hb2 = _bm_grid_config(wq, hb, block, radius, kb_over)
     if hb2 > curr_p.shape[1]:  # ragged: pad rows (masked via n_blockrows)
         curr_p = jnp.pad(
             curr_p, ((0, 0), (0, hb2 - curr_p.shape[1]), (0, 0)), mode="edge"
@@ -203,13 +210,16 @@ def _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius, interpret):
     return jnp.sum(out[..., 0], axis=-1) / (n_blockrows * n_blocks)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "radius", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "radius", "interpret", "kb")
+)
 def block_match_motion_pallas(
     prev_gray: jnp.ndarray,
     curr_gray: jnp.ndarray,
     block: int = 16,
     radius: int = 8,
     interpret: bool = False,
+    kb: int | None = None,
 ) -> jnp.ndarray:
     """Mean block displacement magnitude per pair: (B, H, W) -> (B,).
 
@@ -241,7 +251,7 @@ def block_match_motion_pallas(
         # pad per operand), not as a perf win.
         wq = _round_up(wb, 128)
         wp = _round_up(wq + 2 * radius, 128)
-        _, _, hb2 = _bm_grid_config(wq, hb, block, radius)
+        _, _, hb2 = _bm_grid_config(wq, hb, block, radius, kb)
         curr_p = curr
         if hb2 > hb or wq > wb:
             curr_p = jnp.pad(
@@ -253,7 +263,7 @@ def block_match_motion_pallas(
             mode="edge",
         )
         return _bm_pallas_call(curr_p, prev_p, hb, wb, block, radius,
-                               interpret)
+                               interpret, kb)
 
     # Full-frame halo: pad prev by r with edge replication (vertically and
     # horizontally); bands slice real halo data out of this array.
@@ -279,7 +289,8 @@ def block_match_motion_pallas(
                 prev_b, ((0, 0), (0, 0), (0, wp - bw - 2 * radius)), mode="edge"
             )
         band_means.append(
-            _bm_pallas_call(curr_b, prev_b, hb, bw, block, radius, interpret)
+            _bm_pallas_call(curr_b, prev_b, hb, bw, block, radius,
+                            interpret, kb)
         )
         band_weights.append(bw // block)
 

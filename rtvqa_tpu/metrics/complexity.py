@@ -88,7 +88,8 @@ def _smoothed_masked_mean(series: jnp.ndarray, valid: jnp.ndarray, alpha: float)
     jax.jit,
     static_argnames=(
         "resize_h", "resize_w", "alpha", "block", "radius", "edge_low",
-        "edge_high", "motion_impl", "motion_search",
+        "edge_high", "motion_impl", "motion_search", "motion_kb",
+        "gray_strip",
     ),
 )
 def complexity_suite(
@@ -107,6 +108,8 @@ def complexity_suite(
     edge_high: float = 200.0,
     motion_impl: str = "xla",
     motion_search: str = "pyramid",
+    motion_kb: int | None = None,
+    gray_strip: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Full complexity suite on padded sampled-frame batches; returns the 8
     smoothed-mean scalars keyed by metric name.
@@ -116,6 +119,9 @@ def complexity_suite(
     ``motion_search``: "pyramid" (default — half-res coarse search, the
     reference Farneback's own pyramid analog, ~14x less VPU work) or "full"
     (exhaustive full-resolution search); see ops.motion.
+    ``motion_kb``/``gray_strip``: Pallas grid strip-height overrides
+    (block-rows per search cell / luma rows per gray cell) — tuning knobs
+    for the round-5 fewer-grid-cells sweeps; None = measured defaults.
     """
     n_pad = y.shape[0]
     idx = jnp.arange(n_pad)
@@ -126,7 +132,7 @@ def complexity_suite(
         # planes, ~36 ms real per 128x1080p batch (round-3g profile).
         from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas
 
-        gray_full = yuv420_to_gray_pallas(y, u, v)           # (N, H, W) f32
+        gray_full = yuv420_to_gray_pallas(y, u, v, strip=gray_strip)
     else:
         gray_full = yuv420_to_gray(y, u, v)                  # (N, H, W) f32
 
@@ -138,13 +144,14 @@ def complexity_suite(
     #    Farneback unresized, complexity_metrics.py:313-343).
     if motion_search == "pyramid":
         motion_series = block_match_motion_pyramid_series(
-            gray_full, block=block, radius=radius, impl=motion_impl
+            gray_full, block=block, radius=radius, impl=motion_impl,
+            kb=motion_kb,
         )
     elif motion_impl == "pallas":
         from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
 
         motion_series = block_match_motion_pallas(
-            prev_g, curr_g, block=block, radius=radius
+            prev_g, curr_g, block=block, radius=radius, kb=motion_kb
         )
     else:
         motion_series = block_match_motion(prev_g, curr_g, block=block, radius=radius)
@@ -199,14 +206,15 @@ METRIC_ORDER = (
     jax.jit,
     static_argnames=(
         "resize_h", "resize_w", "alpha", "block", "radius", "edge_low",
-        "edge_high", "motion_impl", "motion_search",
+        "edge_high", "motion_impl", "motion_search", "motion_kb",
+        "gray_strip",
     ),
 )
 def complexity_suite_packed(
     y, u, v, timestamps_ms, n_valid, *,
     resize_h, resize_w, alpha=0.8, block=16, radius=8,
     edge_low=100.0, edge_high=200.0, motion_impl="xla",
-    motion_search="pyramid",
+    motion_search="pyramid", motion_kb=None, gray_strip=None,
 ) -> jnp.ndarray:
     """complexity_suite with the 8 scalars packed into one (8,) array —
     a single device->host fetch (each fetched array costs a full RPC round
@@ -216,6 +224,7 @@ def complexity_suite_packed(
         resize_h=resize_h, resize_w=resize_w, alpha=alpha, block=block,
         radius=radius, edge_low=edge_low, edge_high=edge_high,
         motion_impl=motion_impl, motion_search=motion_search,
+        motion_kb=motion_kb, gray_strip=gray_strip,
     )
     return jnp.stack([out[k] for k in METRIC_ORDER])
 

@@ -180,6 +180,7 @@ def block_match_motion_pyramid_series(
     radius: int = 8,
     impl: str = "xla",
     interpret: bool = False,
+    kb: int | None = None,
 ) -> jnp.ndarray:
     """Pyramid motion over consecutive pairs of one frame series:
     (N, H, W) -> (N-1,).
@@ -197,7 +198,7 @@ def block_match_motion_pyramid_series(
         from rtvqa_tpu.kernels.motion_pallas import block_match_motion_pallas
 
         return 2.0 * block_match_motion_pallas(
-            gh[:-1], gh[1:], block=bp, radius=rp, interpret=interpret
+            gh[:-1], gh[1:], block=bp, radius=rp, interpret=interpret, kb=kb
         )
     return 2.0 * block_match_motion(gh[:-1], gh[1:], block=bp, radius=rp)
 

@@ -96,6 +96,38 @@ def test_gray_pallas_matches_xla(rng):
         np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+@pytest.mark.parametrize("kb", [4, 23, 34])
+def test_block_match_pallas_kb_override(rng, kb):
+    # The round-5 strip-height knob: any kb must be numerically equivalent
+    # (it only changes grid-cell geometry; ragged tails are masked).
+    prev = rng.integers(0, 256, (2, 270, 256)).astype(np.float32)
+    curr = np.stack(
+        [np.roll(np.roll(prev[i], 2, 0), -1, 1) for i in range(2)]
+    ).astype(np.float32)
+    got = np.asarray(
+        block_match_motion_pallas(
+            prev, curr, block=8, radius=4, interpret=True, kb=kb
+        )
+    )
+    exp = np.asarray(block_match_motion(prev, curr, block=8, radius=4))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("strip", [32, 128])
+def test_gray_pallas_strip_override(rng, strip):
+    from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas
+
+    h, w = 200, 192
+    y = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (2, h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, (2, h // 2, w // 2), dtype=np.uint8)
+    base = np.asarray(yuv420_to_gray_pallas(y, u, v, interpret=True))
+    got = np.asarray(
+        yuv420_to_gray_pallas(y, u, v, interpret=True, strip=strip)
+    )
+    np.testing.assert_array_equal(got, base)
+
+
 def test_gray_pallas_small_frame_fallback(rng):
     # Below the int8 strip size the wrapper must route to the XLA form.
     from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas

@@ -141,6 +141,14 @@ def _bm_grid_config(wq, hb, block, radius, kb_over=None):
     half-res). Budget on that unit product — NOT on block alone: a direct
     full-radius call with small blocks (block=8, r=8, 1920 lanes) must
     stay at kb=4, only the halved-radius pyramid shapes afford kb=16.
+
+    When the budget affords it, target THREE strips per band instead of
+    the kb=16 ladder: at 1080p half-res (67 block-rows) kb=23 cuts the
+    grid from 5 cells/640 padded rows to 3 cells/552 and measured
+    51.5 -> 48.7 ms on the 128-frame suite (probes/KB23_AB_r05.json —
+    interleaved A/B, every rep faster). TWO strips (kb=34) gives the win
+    back (51.0 ms), and at 1440p/4K the lever is neutral
+    (probes/KB_WIDE_r05.json) — 3 is the floor, not a scaling rule.
     """
     n_blockrows = hb // block
     side_u = 2 * radius + 1
@@ -148,7 +156,11 @@ def _bm_grid_config(wq, hb, block, radius, kb_over=None):
     if kb_over is not None:
         kb = kb_over
     else:
-        kb = 16 if budget_kb >= 16 else (4 if budget_kb >= 4 else max(1, budget_kb))
+        target3 = -(-n_blockrows // 3)
+        if 16 <= target3 <= budget_kb:
+            kb = target3
+        else:
+            kb = 16 if budget_kb >= 16 else (4 if budget_kb >= 4 else max(1, budget_kb))
     kb = min(kb, n_blockrows)
     n_strips = -(-n_blockrows // kb)
     return kb, n_strips, n_strips * kb * block

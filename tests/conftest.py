@@ -35,6 +35,26 @@ except Exception:
     pass
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_executable_mappings():
+    """Free each module's compiled executables when the module finishes.
+
+    Every XLA:CPU executable holds tens-to-hundreds of anonymous mappings
+    for its JIT code/data. A full single-process ``pytest tests/`` run
+    accumulates past ``vm.max_map_count`` (65530 here): measured 65,062
+    maps right before a deterministic SIGSEGV inside
+    ``backend_compile_and_load`` (or, with the persistent cache on, inside
+    the cache's zstd (de)serialization — whichever allocation crossed the
+    limit first) around test ~196 of 260; every module passes in
+    isolation. ``jax.clear_caches()`` provably returns the mappings
+    (1188 -> 464 in a 60-program probe). Per-module clearing bounds the
+    peak at one module's working set; the on-disk persistent cache keeps
+    the recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

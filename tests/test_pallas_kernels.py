@@ -113,6 +113,23 @@ def test_block_match_pallas_kb_override(rng, kb):
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
 
 
+def test_bm_grid_config_three_strip_target():
+    # Round-5 default: when scoped-VMEM affords it, the grid targets 3
+    # strips per band (measured win at 1080p half-res, neutral wider —
+    # probes/KB23_AB_r05.json, probes/KB_WIDE_r05.json). Numerics of
+    # explicit kb values are covered by test_block_match_pallas_kb_override.
+    from rtvqa_tpu.kernels.motion_pallas import _bm_grid_config
+
+    assert _bm_grid_config(960, 540, 8, 4) == (23, 3, 552)    # 1080p half
+    assert _bm_grid_config(1280, 720, 8, 4) == (30, 3, 720)   # 1440p half
+    # 4K half-res: target3=45 exceeds the VMEM budget cap (21) -> ladder.
+    assert _bm_grid_config(1920, 1080, 8, 4) == (16, 9, 1152)
+    # Full-res full-radius small-block stays at the kb=4 budget clamp.
+    assert _bm_grid_config(1920, 1080, 16, 8)[0] == 4
+    # Tiny frames keep the ladder (target3 < 16 never triggers).
+    assert _bm_grid_config(128, 150, 8, 4) == (16, 2, 256)
+
+
 @pytest.mark.parametrize("strip", [32, 128])
 def test_gray_pallas_strip_override(rng, strip):
     from rtvqa_tpu.kernels.gray_pallas import yuv420_to_gray_pallas

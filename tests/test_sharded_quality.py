@@ -6,6 +6,12 @@ from rtvqa_tpu.metrics.full_reference import A_KEYS, B_KEYS, _program_a, _progra
 from rtvqa_tpu.parallel.sharding import make_mesh, sharded_quality_step
 
 
+# NOTE: full-suite runs used to segfault at this module's first fresh
+# compile — root cause was vm.max_map_count exhaustion from accumulated
+# XLA:CPU executables, fixed by the per-module jax.clear_caches() fixture
+# in conftest.py (this module merely sat where the limit was crossed).
+
+
 def test_sharded_quality_matches_single_device(rng):
     if jax.device_count() < 8:
         pytest.skip("needs 8 virtual devices")
